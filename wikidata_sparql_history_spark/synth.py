@@ -1,0 +1,180 @@
+"""Deterministic synthetic transcript corpus (FIXTURES.md §1, §4, §5).
+
+Every value is a pure integer function of ``(c, t)`` — conversation
+number and turn number — so the corpus is identical under any
+parallelism / partitioning, and the *expected* extracted triples are
+computable in closed form. The same formulas are emitted as DuckDB SQL
+(`transcripts_sql`) so the driver's oracle harness can rebuild the
+identical table and verify the whole KG pipeline end-to-end.
+
+Grammar embedded in ``text`` (FIXTURES.md mention grammar):
+
+    c<c> t<t> [[E<s>]] (<<P<j_i>>> [[E<k_i>]]) x m
+
+with
+    n_turns(c) = 3 + (c*7) % 18            -- 3..20 turns
+    turn_idx   = 2 + 3*t                   -- non-dense revision ids
+    s(c)       = c % 50 if c % 3 == 0 else 7   -- E7 is the hot entity
+                                               -- (~67% of subjects → skew)
+    m(c,t)     = (c + t) % 4               -- 0..3 relation mentions
+    j_i        = (c + t + i) % 7
+    k_i        = (c*3 + t*5 + i*11) % 50
+
+Generation is Spark-native (`spark.range` + built-in expressions — no
+driver-side loops, no Python UDFs) so it scales to bench sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BASE_EPOCH = 1704067200  # 2024-01-01T00:00:00Z
+
+# --- column-expression building blocks (Spark side) ---------------------
+
+
+def _turn_cols():
+    c, t = F.col("c"), F.col("t")
+    s = F.when(c % 3 == 0, c % 50).otherwise(F.lit(7))
+    m = (c + t) % 4
+
+    def seg(i: int):
+        j = (c + t + F.lit(i)) % 7
+        k = (c * 3 + t * 5 + F.lit(i) * 11) % 50
+        return F.concat(F.lit(" <<P"), j, F.lit(">> [[E"), k, F.lit("]]"))
+
+    text = F.concat(
+        F.lit("c"), c, F.lit(" t"), t, F.lit(" [[E"), s, F.lit("]]"),
+        F.when(m >= 1, seg(1)).otherwise(F.lit("")),
+        F.when(m >= 2, seg(2)).otherwise(F.lit("")),
+        F.when(m >= 3, seg(3)).otherwise(F.lit("")),
+    )
+    role = F.element_at(
+        F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+        (t % 3 + 1).cast("int"),
+    )
+    return {
+        "conv_id": F.concat(F.lit("c"), c),
+        "turn_idx": (F.lit(2) + 3 * t).cast("int"),
+        "role": role,
+        "text": text,
+        "tool": F.when(t % 3 == 2, F.concat(F.lit("tool_"), (c + t) % 5)).otherwise(
+            F.lit("")
+        ),
+        "ts": F.timestamp_seconds(F.lit(BASE_EPOCH) + c * 86400 + t * 60),
+    }
+
+
+def transcripts(spark: SparkSession, n_conv: int, shuffled: bool = True) -> DataFrame:
+    """The primary input table: (conv_id, turn_idx, role, text, tool, ts).
+
+    Rows come out hash-shuffled (not sorted) so the stable-ordering
+    window logic is genuinely exercised (FIXTURES.md §1).
+    """
+    convs = spark.range(n_conv).withColumnRenamed("id", "c")
+    df = convs.select(
+        "c", F.explode(F.sequence(F.lit(0), (F.lit(2) + (F.col("c") * 7) % 18))).alias("t")
+    )
+    cols = _turn_cols()
+    out = df.select(*(expr.alias(name) for name, expr in cols.items()))
+    if shuffled:
+        out = out.repartition(F.hash("conv_id", "turn_idx"))
+    return out
+
+
+def candidate_dict(spark: SparkSession) -> DataFrame:
+    """Broadcast linking dictionary (FIXTURES.md §5).
+
+    Every surface form ``E<k>`` has two candidates — the true entity
+    ``Q<k>`` (prior .9) and a decoy ``Q<k+1000>`` (prior .4) — so the
+    linker's argmax-prior tie-break is exercised.
+    """
+    ks = spark.range(50).withColumnRenamed("id", "k")
+    true = ks.select(
+        F.concat(F.lit("E"), "k").alias("mention"),
+        F.concat(F.lit("Q"), "k").alias("entity_id"),
+        F.lit(0.9).alias("prior"),
+    )
+    decoy = ks.select(
+        F.concat(F.lit("E"), "k").alias("mention"),
+        F.concat(F.lit("Q"), F.col("k") + 1000).alias("entity_id"),
+        F.lit(0.4).alias("prior"),
+    )
+    return true.unionByName(decoy)
+
+
+def alias_edges(spark: SparkSession) -> DataFrame:
+    """Alias edges over entity ids (FIXTURES.md §4).
+
+    Q25..Q49 → Q0..Q24 and Q20..Q24 → Q0..Q4, giving 2-hop chains
+    (e.g. Q45 → Q20 → Q0) for connected-components canonicalization.
+    Analog of the reference's redirect → owl:sameAs emission
+    (RevisionFileConverter.java:110-116).
+    """
+    k = F.col("k")
+    hi = (
+        spark.range(25, 50)
+        .withColumnRenamed("id", "k")
+        .select(
+            F.concat(F.lit("Q"), k).alias("src"),
+            F.concat(F.lit("Q"), k - 25).alias("dst"),
+        )
+    )
+    mid = (
+        spark.range(20, 25)
+        .withColumnRenamed("id", "k")
+        .select(
+            F.concat(F.lit("Q"), k).alias("src"),
+            F.concat(F.lit("Q"), k - 20).alias("dst"),
+        )
+    )
+    return hi.unionByName(mid)
+
+
+# --- DuckDB-SQL twins (oracle side) --------------------------------------
+
+
+def transcripts_sql(n_conv: int) -> str:
+    """DuckDB SQL producing the byte-identical transcripts table."""
+    return f"""
+WITH convs AS (SELECT range AS c FROM range(0, {n_conv})),
+turns AS (
+  SELECT c, unnest(generate_series(0, 2 + (c*7) % 18)) AS t FROM convs
+),
+g AS (
+  SELECT c, t,
+    CASE WHEN c % 3 = 0 THEN c % 50 ELSE 7 END AS s,
+    (c + t) % 4 AS m
+  FROM turns
+)
+SELECT
+  'c' || c AS conv_id,
+  CAST(2 + 3*t AS INTEGER) AS turn_idx,
+  (ARRAY['user','assistant','tool'])[CAST(t % 3 AS INTEGER) + 1] AS role,
+  'c' || c || ' t' || t || ' [[E' || s || ']]'
+    || CASE WHEN m >= 1 THEN ' <<P' || ((c+t+1) % 7) || '>> [[E' || ((c*3+t*5+11) % 50) || ']]' ELSE '' END
+    || CASE WHEN m >= 2 THEN ' <<P' || ((c+t+2) % 7) || '>> [[E' || ((c*3+t*5+22) % 50) || ']]' ELSE '' END
+    || CASE WHEN m >= 3 THEN ' <<P' || ((c+t+3) % 7) || '>> [[E' || ((c*3+t*5+33) % 50) || ']]' ELSE '' END
+    AS text,
+  CASE WHEN t % 3 = 2 THEN 'tool_' || ((c+t) % 5) ELSE '' END AS tool,
+  TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (c*86400 + t*60) SECOND AS ts
+FROM g
+"""
+
+
+def candidate_dict_sql() -> str:
+    return """
+SELECT 'E' || range AS mention, 'Q' || range AS entity_id, 0.9 AS prior
+FROM range(0, 50)
+UNION ALL
+SELECT 'E' || range, 'Q' || (range + 1000), 0.4 FROM range(0, 50)
+"""
+
+
+def alias_edges_sql() -> str:
+    return """
+SELECT 'Q' || range AS src, 'Q' || (range - 25) AS dst FROM range(25, 50)
+UNION ALL
+SELECT 'Q' || range, 'Q' || (range - 20) FROM range(20, 25)
+"""
