@@ -1,0 +1,83 @@
+"""Entity linking + canonicalization (FIXTURES.md §4/§5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wikidata_sparql_history_spark import synth
+from wikidata_sparql_history_spark.pipeline.canonicalize import (
+    canonical_map,
+    canonicalize_triples,
+    connected_components,
+)
+from wikidata_sparql_history_spark.pipeline.extract import extract_triples
+from wikidata_sparql_history_spark.pipeline.linking import (
+    link_mentions,
+    link_mentions_salted,
+)
+
+
+def canon_k(k: int) -> int:
+    """Closed-form canonical id for synthetic alias graph Q<k>."""
+    k = k % 25
+    return k - 20 if k >= 20 else k
+
+
+def test_canonical_map_resolves_chains(spark):
+    cmap = {r.src: r.canon for r in canonical_map(synth.alias_edges(spark)).collect()}
+    # 2-hop chain: Q45 -> Q20 -> Q0
+    assert cmap["Q45"] == "Q0"
+    assert cmap["Q20"] == "Q0"
+    for k in range(20, 50):
+        assert cmap[f"Q{k}"] == f"Q{canon_k(k)}"
+
+
+def test_connected_components_matches_chains(spark):
+    cc = {r.node: r.component for r in
+          connected_components(synth.alias_edges(spark)).collect()}
+    # every chain member shares the (string-min) component label
+    assert cc["Q45"] == cc["Q20"] == cc["Q0"]
+    assert cc["Q26"] == cc["Q1"]
+
+
+def test_linking_broadcast_and_salted_agree(spark):
+    t = synth.transcripts(spark, 30)
+    mentions = extract_triples(t)
+    cands = synth.candidate_dict(spark)
+    a = link_mentions(mentions, cands).orderBy(
+        "conv_id", "turn_idx", "subj", "pred", "obj"
+    )
+    b = link_mentions_salted(mentions, cands).orderBy(
+        "conv_id", "turn_idx", "subj", "pred", "obj"
+    )
+    rows_a = [tuple(r) for r in a.collect()]
+    rows_b = [tuple(r) for r in b.collect()]
+    assert rows_a == rows_b
+    assert len(rows_a) > 0
+    # max-prior disambiguation picked Q<k>, not the Q<k+1000> decoy
+    assert all(not s.startswith("Q1") or len(s) <= 3 for s, in
+               {(r[2],) for r in rows_a})
+
+
+def test_canonicalize_rewrites_mentions(spark):
+    t = synth.transcripts(spark, 30)
+    linked = link_mentions(extract_triples(t), synth.candidate_dict(spark))
+    canon = canonicalize_triples(linked, synth.alias_edges(spark))
+    ids = {
+        int(v[1:])
+        for row in canon.select("subj", "obj").collect()
+        for v in row
+    }
+    assert ids, "no linked entities"
+    assert max(ids) < 20, f"non-canonical ids survived: {sorted(ids)[-5:]}"
+
+
+def test_hot_key_skew_exists(spark):
+    """The synthetic corpus really is skewed (FIXTURES.md: >=20% of
+    mentions on one entity) so the salted join is exercised."""
+    t = synth.transcripts(spark, 60)
+    m = extract_triples(t)
+    counts = m.groupBy("subj").count().collect()
+    total = sum(r["count"] for r in counts)
+    top = max(r["count"] for r in counts)
+    assert top / total >= 0.2
