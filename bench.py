@@ -1,0 +1,158 @@
+"""Benchmark harness.
+
+Default mode: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "triples_per_sec": ...}
+
+--scaling: runs the identical KG-construction job on the identical
+input at two parallelism levels (local[8] vs local[32]) in separate
+JVMs and reports throughput at both plus efficiency = (T8/T32)/4
+(BASELINE.md scaling-efficiency evidence; no real cluster in sandbox).
+
+--single-run --cpus N: internal child mode for --scaling.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SCALING_N_CONV = 30000  # ~345k turns, ~1.2M extracted facts
+
+
+def _spark(cpus: int, shuffle: int | None = None):
+    from wikidata_sparql_history_spark.session import get_spark
+
+    return get_spark(
+        f"bench-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=shuffle or max(cpus, 8),
+    )
+
+
+def kg_job(spark, transcripts):
+    """The scaling-measured job: full construction pipeline →
+    materialized triple count (forces every stage)."""
+    from wikidata_sparql_history_spark import synth
+    from wikidata_sparql_history_spark.pipeline import (
+        canonicalize, coalesce, extract, linking, ordering,
+    )
+
+    turns = ordering.ordered_turns(transcripts)
+    facts = extract.extract_triples(transcripts)
+    linked = linking.link_mentions(facts, synth.candidate_dict(spark))
+    canon = canonicalize.canonicalize_triples(
+        linked, synth.alias_edges(spark)
+    ).dropDuplicates(["conv_id", "turn_idx", "subj", "pred", "obj"])
+    ranges = coalesce.coalesce_ranges(canon, turns)
+    n_facts = canon.count()
+    n_ranges = ranges.count()
+    return n_facts, n_ranges
+
+
+def single_run(cpus: int) -> dict:
+    os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
+    spark = _spark(cpus)
+    from wikidata_sparql_history_spark import synth
+
+    transcripts = synth.transcripts(spark, SCALING_N_CONV)
+    transcripts.write.mode("overwrite").parquet("/tmp/bench_transcripts")
+    t_in = spark.read.parquet("/tmp/bench_transcripts")
+    t0 = time.monotonic()
+    n_facts, n_ranges = kg_job(spark, t_in)
+    dt = time.monotonic() - t0
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "seconds": round(dt, 3),
+        "facts": n_facts,
+        "ranges": n_ranges,
+        "triples_per_sec": round(n_facts / dt, 1),
+    }
+
+
+def scaling_mode() -> None:
+    results = {}
+    for cpus in (8, 32):
+        out = subprocess.run(
+            [sys.executable, __file__, "--single-run", "--cpus", str(cpus)],
+            capture_output=True, text=True, cwd=REPO,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    t8, t32 = results[8]["seconds"], results[32]["seconds"]
+    eff = (t8 / t32) / 4
+    print(json.dumps({
+        "metric": "kg_construct_scaling",
+        "n_conv": SCALING_N_CONV,
+        "local8": results[8],
+        "local32": results[32],
+        "speedup_8_to_32": round(t8 / t32, 3),
+        "scaling_efficiency": round(eff, 3),
+    }))
+
+
+def bench_mode() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = _spark(cpus)
+
+    import __spark_entry__ as entry
+
+    # headline subset: the KG pipeline + representative operators
+    names = [
+        "kg_ranges", "kg_state_at", "kg_adjacency_stats",
+        "agg_pricing_summary", "join_topk_revenue", "broadcast_dim_join",
+        "window_running", "gaps_islands_sessions",
+        "dedup_exact_docs", "minhash_lsh_pairs", "cosine_topk",
+        "token_stats", "quality_score", "language_id",
+    ]
+    qs = entry.queries()
+    timings: dict[str, float] = {}
+    kg_triples = 0
+    total0 = time.monotonic()
+    for name in names:
+        t0 = time.monotonic()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.monotonic() - t0, 3)
+        if name == "kg_ranges":
+            kg_triples = n
+    total = time.monotonic() - total0
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(json.dumps({
+        "metric": "kg_construct_bench",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "kg_triples": kg_triples,
+        "kg_triples_per_sec": round(kg_triples / timings["kg_ranges"], 1)
+        if timings.get("kg_ranges") else None,
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--single-run", action="store_true")
+    ap.add_argument("--cpus", type=int, default=32)
+    args = ap.parse_args()
+    if args.single_run:
+        print(json.dumps(single_run(args.cpus)))
+    elif args.scaling:
+        scaling_mode()
+    else:
+        bench_mode()

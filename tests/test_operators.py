@@ -1,0 +1,160 @@
+"""Training-data operators: dedup, similarity, text, multimodal."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from wikidata_sparql_history_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    text as text_ops,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def embs(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_exact_dedup_finds_planted_dupes(spark):
+    d = spark.createDataFrame(
+        [(1, "Hello, world"), (2, "hello world!"), (3, "different text")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.n_dupes for r in dedup.exact_dedup(d).collect()}
+    assert rows == {1: 2, 3: 1}  # 1 and 2 normalize identically; min id kept
+
+
+def test_shingles_and_jaccard(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c d e g"),   # shares 3 of first shingles
+            (3, "x y z w v u"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id1, r.id2): r.jaccard for r in
+             dedup.ngram_jaccard_pairs(d, n=3, threshold=0.1).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
+    # doc1 shingles {abc,bcd,cde,def}, doc2 {abc,bcd,cde,deg}: J = 3/5
+    assert math.isclose(pairs[(1, 2)], 0.6, abs_tol=1e-4)
+
+
+def test_minhash_lsh_recalls_near_dupes(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "completely unrelated words appear in this string here"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id1, r.id2) for r in
+             dedup.minhash_lsh_pairs(d, num_hashes=16, bands=8).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_similar_docs_close(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today ok"),
+            (2, "the quick brown fox jumps over the lazy dog tonight ok"),
+            (3, "completely unrelated words appear in this string here now"),
+        ],
+        "doc_id long, text string",
+    )
+    h = {r.doc_id: r.simhash for r in dedup.simhash(d).collect()}
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(h[1], h[2]) < ham(h[1], h[3])
+
+
+def test_cosine_topk_self_similarity(spark):
+    e = embs(spark)
+    q = e.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    res = similarity.cosine_topk(e, q, k=3)
+    rows = res.collect()
+    assert len(rows) == 6  # 2 queries x 3 neighbors
+    assert all(r.neighbor_id != r.qid for r in rows)
+
+
+def test_lsh_topk_bucket_invariant(spark):
+    e = embs(spark)
+    q = e.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    ann = similarity.lsh_bucket_topk(e, q, k=5, n_planes=4)
+    ann_rows = ann.collect()
+    assert ann_rows, "LSH returned nothing"
+    assert all(1 <= r.rank <= 5 for r in ann_rows)
+    # same-bucket invariant: each returned neighbor hashes to the
+    # query's bucket under the same hyperplanes
+    buckets = {
+        r.vec_id: r.bucket
+        for r in e.select(
+            "vec_id",
+            similarity.lsh_bucket_key("embedding", 4, 64).alias("bucket"),
+        ).collect()
+    }
+    for r in ann_rows:
+        assert buckets[r.neighbor_id] == buckets[r.qid]
+    # an identical copy of the query vector always lands in-bucket and
+    # ranks first
+    planted = e.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 9999).alias("vec_id"), "embedding", "label"
+    )
+    ann2 = similarity.lsh_bucket_topk(e.unionByName(planted), q, k=1, n_planes=4)
+    top_for_q0 = {r.qid: r.neighbor_id for r in ann2.collect()}
+    assert top_for_q0[0] == 9999
+
+
+def test_embedding_near_dup_finds_self_planted(spark):
+    e = embs(spark).limit(50)
+    dup = e.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+    )
+    planted = e.unionByName(dup)
+    pairs = {(r.id1, r.id2) for r in
+             similarity.embedding_near_dup(planted, threshold=0.999).collect()}
+    assert (0, 10000) in pairs
+
+
+def test_language_id_and_quality(spark):
+    out = text_ops.language_id(docs(spark))
+    assert out.filter(F.col("pred_lang").isNull()).isEmpty()
+    q = text_ops.quality_score(docs(spark))
+    bad = q.filter((F.col("quality") < 0) | (F.col("quality") > 1))
+    assert bad.isEmpty()
+
+
+def test_multimodal_feature_plumbing(spark):
+    media = multimodal.media_from_documents(docs(spark).limit(30))
+    feats = multimodal.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r.feature) == 8 for r in rows)
+    assert all(r.n_bytes > 0 for r in rows)
+    # deterministic: same blob → same digest on re-run
+    again = {r.media_id: r.digest for r in multimodal.extract_features(media).collect()}
+    assert all(again[r.media_id] == r.digest for r in rows)
+
+
+def test_frame_sample_plan(spark):
+    media = multimodal.media_from_documents(docs(spark).limit(30))
+    plan = multimodal.frame_sample_plan(media, every_ms=1000)
+    joined = plan.join(media.select("media_id", "meta"), "media_id")
+    bad = joined.filter(F.col("offset_ms") > F.col("meta.duration_ms") + 1000)
+    assert bad.isEmpty()

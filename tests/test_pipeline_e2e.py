@@ -29,6 +29,7 @@ def expected_facts_py(n_conv: int):
         s = c % 50 if c % 3 == 0 else 7
         for t in range(n_turns):
             m = (c + t) % 4
+            out.add((f"c{c}", 2 + 3 * t, f"Q{canon(s)}", "P0", f"Q{canon(s)}"))
             for i in range(1, m + 1):
                 j = (c + t + i) % 7
                 k = (c * 3 + t * 5 + i * 11) % 50

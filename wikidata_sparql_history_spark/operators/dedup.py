@@ -1,0 +1,197 @@
+"""Deduplication operators for training-data pipelines.
+
+Scale notes (100 TB):
+- exact: one hash-shuffle on the fingerprint; Tungsten hash-agg with
+  map-side partial aggregation.
+- n-gram Jaccard: explode shingles → self-join on shingle → count
+  co-occurrences. The shingle join is the classic inverted-index
+  pattern; hot shingles (stopword runs) should be frequency-capped
+  (`max_shingle_freq`) to keep the join skew-free.
+- MinHash + LSH: signature = per-seed min over shingle hashes; band
+  buckets join candidates only — no all-pairs blowup. Hash = md5 of
+  (seed || shingle) so the DuckDB oracle reproduces it exactly.
+- SimHash: 64-bit xxhash64 bitwise majority vote per document;
+  near-dups = equal 16-bit bands (hamming prefilter).
+- embedding near-dup: cosine ≥ threshold via `similarity.py`.
+
+All built-in expressions — no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text():
+    return F.regexp_replace(F.lower("text"), r"[^a-z0-9 ]", "")
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Keep the min doc_id per exact (normalized) text; emit
+    (doc_id, n_dupes) survivors."""
+    return (
+        docs.select("doc_id", F.md5(normalize_text()).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count("*").cast("long").alias("n_dupes"),
+        )
+        .select("doc_id", "n_dupes")
+    )
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle): distinct word n-grams of normalized text."""
+    words = F.split(F.trim(normalize_text()), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(words, i + k + 1) for k in range(n)])
+    )
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
+    ).filter(F.size(F.split(F.col("shingle"), " ")) == n)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5,
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """Near-dup pairs by n-gram Jaccard ≥ threshold.
+
+    Inverted-index self-join; `max_shingle_freq` drops ubiquitous
+    shingles (join-skew guard — each shingle of frequency f contributes
+    f^2 candidate pairs).
+    """
+    sh = shingles(docs, n)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").count().filter(
+            F.col("count") <= max_shingle_freq
+        )
+        sh = sh.join(F.broadcast(freq.select("shingle")), "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.selectExpr("doc_id as id1", "shingle")
+    b = sh.selectExpr("doc_id as id2", "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.selectExpr("doc_id as id1", "n_sh as n1"), "id1")
+        .join(sizes.selectExpr("doc_id as id2", "n_sh as n2"), "id2")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id1", "id2", "jaccard")
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 16, n: int = 3) -> DataFrame:
+    """(doc_id, sig: array<string>): per-seed min of md5(seed||shingle).
+
+    md5-hex string min is stable across engines → oracle-reproducible.
+    """
+    sh = shingles(docs, n)
+    mins = [
+        F.min(F.md5(F.concat(F.lit(str(seed) + "|"), F.col("shingle")))).alias(
+            f"h{seed}"
+        )
+        for seed in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"h{s}") for s in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding: docs sharing any band
+    of the MinHash signature. Returns (id1, id2, n_bands_shared)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, n)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("|", *[
+                F.element_at("sig", b * rows_per_band + r + 1)
+                for r in range(rows_per_band)
+            ]).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = banded.selectExpr("doc_id as id1", "band", "key")
+    b = banded.selectExpr("doc_id as id2", "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").cast("long").alias("n_bands_shared"))
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 64, n: int = 3) -> DataFrame:
+    """(doc_id, simhash): bitwise majority vote over shingle xxhash64.
+
+    Pure columnar: per bit b, sum(sign of bit) over shingles; bit set
+    iff sum > 0. 64 aggregate expressions — wide but fully codegen'd.
+    """
+    sh = shingles(docs, n).withColumn("h", F.xxhash64("shingle"))
+
+    def bit(b: int):
+        # shiftleft wraps at bit 63 (two's complement) — a python
+        # 1 << 63 literal would overflow Spark's LongType
+        return F.shiftleft(F.lit(1).cast("long"), b)
+
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(bit(b)) != 0, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = sh.groupBy("doc_id").agg(*votes)
+    out = sum(
+        (F.when(F.col(f"b{b}") > 0, bit(b)).otherwise(F.lit(0).cast("long"))
+         for b in range(bits)),
+        start=F.lit(0).cast("long"),
+    )
+    return agg.select("doc_id", out.alias("simhash"))
+
+
+def simhash_band_pairs(docs: DataFrame, band_bits: int = 16) -> DataFrame:
+    """Near-dup candidates: equal `band_bits`-bit band of simhash
+    (standard hamming-distance prefilter)."""
+    s = simhash(docs)
+    bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    band_cols = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftrightunsigned("simhash", i * band_bits).bitwiseAND(
+                F.lit(mask)
+            ).alias("key"),
+        )
+        for i in range(bands)
+    ]
+    banded = s.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "doc_id", "bk.band", "bk.key"
+    )
+    a = banded.selectExpr("doc_id as id1", "band", "key")
+    b = banded.selectExpr("doc_id as id2", "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )

@@ -1,0 +1,119 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+- `cosine_topk` — brute-force baseline: broadcast the (small) query
+  set, `zip_with`+`aggregate` HOF dot product (JVM-side, codegen),
+  window top-k. Exact; O(Q×N) but N-side streams — fine whenever the
+  query set is small and broadcastable.
+- `lsh_bucket_topk` — scale path: random-hyperplane LSH. Each vector
+  is bucketed by the sign pattern of `n_planes` fixed pseudo-random
+  hyperplanes (deterministic: plane components derive from
+  xxhash64(plane, dim) — no RNG in executors). Candidates = same
+  bucket; exact cosine re-ranks within buckets. Recall < 1 by design;
+  probe multiple rotated bucket keys to trade compute for recall.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def with_cosine(pairs: DataFrame, left: str = "qvec", right: str = "embedding"):
+    l, r = F.col(left).cast("array<double>"), F.col(right).cast("array<double>")
+    return pairs.withColumn("cosine", _dot(l, r) / (_norm(l) * _norm(r)))
+
+
+def cosine_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Exact top-k neighbors per query vector.
+
+    embeddings: (vec_id, embedding array<float>); queries:
+    (qid, qvec). Output (qid, neighbor_id, rank) — ids only, so the
+    result is float-precision-robust for oracle comparison.
+    """
+    crossed = embeddings.crossJoin(F.broadcast(queries))
+    scored = with_cosine(crossed).filter(F.col("vec_id") != F.col("qid"))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", F.col("vec_id").alias("neighbor_id"), "rank")
+    )
+
+
+def _plane_component(plane: int, dim: int):
+    """Deterministic pseudo-random hyperplane component in [-1, 1]:
+    xxhash64 of (plane, dim) scaled — stable across executors."""
+    h = F.xxhash64(F.lit(plane), F.lit(dim))
+    return (F.pmod(h, F.lit(2000001)).cast("double") - 1000000.0) / 1000000.0
+
+
+def lsh_bucket_key(vec_col, n_planes: int, dims: int):
+    """Sign-pattern bucket id of a vector under fixed hyperplanes."""
+    key = F.lit(0).cast("long")
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    for p in range(n_planes):
+        proj = sum(
+            (v[d].cast("double") * _plane_component(p, d) for d in range(dims)),
+            start=F.lit(0.0),
+        )
+        key = key + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return key
+
+
+def lsh_bucket_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dims: int = 64,
+) -> DataFrame:
+    """ANN top-k: join on LSH bucket, exact cosine re-rank in-bucket.
+
+    At 100 TB the bucket key is the shuffle key: ~2^n_planes buckets
+    spread the corpus; no all-pairs cross join ever materializes.
+    """
+    e = embeddings.withColumn("bucket", lsh_bucket_key("embedding", n_planes, dims))
+    q = queries.withColumn("bucket", lsh_bucket_key("qvec", n_planes, dims))
+    crossed = e.join(F.broadcast(q), "bucket")
+    scored = with_cosine(crossed).filter(F.col("vec_id") != F.col("qid"))
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", F.col("vec_id").alias("neighbor_id"), "rank")
+    )
+
+
+def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.95,
+                       n_planes: int = 6, dims: int = 64) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH blocking +
+    exact verify (dedup's scale path for vector near-dups)."""
+    e = embeddings.select("vec_id", "embedding").withColumn(
+        "bucket", lsh_bucket_key("embedding", n_planes, dims)
+    )
+    a = e.selectExpr("vec_id as id1", "embedding as v1", "bucket")
+    b = e.selectExpr("vec_id as id2", "embedding as v2", "bucket")
+    pairs = a.join(b, "bucket").filter(F.col("id1") < F.col("id2"))
+    l, r = F.col("v1").cast("array<double>"), F.col("v2").cast("array<double>")
+    scored = pairs.withColumn("cosine", _dot(l, r) / (_norm(l) * _norm(r)))
+    return scored.filter(F.col("cosine") >= threshold).select(
+        "id1", "id2", F.round("cosine", 4).alias("cosine")
+    )

@@ -1,0 +1,102 @@
+"""Text-analysis operators for training-data pipelines.
+
+All JVM-side built-ins (whole-stage codegen) — no Python in the hot
+path. Each has a DuckDB-SQL twin in __spark_entry__ oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny English stopword list used by the quality heuristic; both
+# engines share the literal list so results are oracle-comparable
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "on", "for"]
+
+WORD_RE = r"[A-Za-z0-9]+"  # no apostrophe: the literal is embedded in SQL strings
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Token counting: whitespace tokens + regex word tokens
+    (BPE-ish proxy: words + punctuation pieces)."""
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(WORD_RE), 0)).alias("word_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Quality heuristics: length, punctuation ratio, stopword ratio.
+
+    score = 0.4*min(1, words/100) + 0.4*stopword_ratio + 0.2*(1-punct_ratio),
+    rounded to 4 decimals for oracle comparison.
+    """
+    words = F.regexp_extract_all(F.lower("text"), F.lit(WORD_RE), 0)
+    n_words = F.size(words)
+    n_stop = F.size(F.filter(words, lambda w: w.isin(STOPWORDS)))
+    n_punct = F.size(F.regexp_extract_all("text", F.lit(r"[^\w\s]"), 0))
+    stop_ratio = F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        F.length("text") > 0, n_punct / F.length("text")
+    ).otherwise(F.lit(0.0))
+    score = (
+        0.4 * F.least(F.lit(1.0), n_words / F.lit(100.0))
+        + 0.4 * stop_ratio
+        + 0.2 * (1 - punct_ratio)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """N-gram-heuristic language ID.
+
+    A deterministic character-bigram vote: per configured language, a
+    handful of signature bigrams; predicted = argmax hit count with
+    tie-break on language code. (Real models aren't available in the
+    sandbox; the operator shape — vote table broadcast + argmax — is
+    the scale path.)
+    """
+    sigs = {
+        "en": ["th", "he", "in", "er"],
+        "de": ["ch", "ei", "sc", "de"],
+        "fr": ["le", "ou", "es", "on"],
+        "es": ["os", "la", "el", "en"],
+        "zh": ["zh", "sh", "ng", "xi"],
+    }
+    lowered = F.lower("text")
+
+    def hits(bigrams):
+        return sum(
+            (
+                (F.length(lowered) - F.length(F.replace(lowered, F.lit(bg), F.lit(""))))
+                / 2
+            ).cast("long")
+            for bg in bigrams
+        )
+
+    langs = sorted(sigs)  # fixed evaluation order: first max wins ties
+    cols = {lang: hits(sigs[lang]) for lang in langs}
+    best = F.greatest(*cols.values())
+    expr = None
+    for lang in langs:
+        cond = cols[lang] == best
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return docs.select(
+        "doc_id",
+        expr.alias("pred_lang"),
+        best.alias("sig_hits"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprinting: md5 of case/punctuation-normalized
+    text (identical in DuckDB, so oracle-comparable)."""
+    norm = F.regexp_replace(F.lower("text"), r"[^a-z0-9 ]", "")
+    return docs.select("doc_id", F.md5(norm).alias("fp"))

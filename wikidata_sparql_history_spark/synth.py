@@ -44,8 +44,11 @@ def _turn_cols():
         k = (c * 3 + t * 5 + F.lit(i) * 11) % 50
         return F.concat(F.lit(" <<P"), j, F.lit(">> [[E"), k, F.lit("]]"))
 
+    # every turn asserts the persistent self-typing fact (E_s, P0, E_s)
+    # so long coalescing islands exist at scale ([first_turn, MAX))
     text = F.concat(
         F.lit("c"), c, F.lit(" t"), t, F.lit(" [[E"), s, F.lit("]]"),
+        F.lit(" <<P0>> [[E"), s, F.lit("]]"),
         F.when(m >= 1, seg(1)).otherwise(F.lit("")),
         F.when(m >= 2, seg(2)).otherwise(F.lit("")),
         F.when(m >= 3, seg(3)).otherwise(F.lit("")),
@@ -132,6 +135,63 @@ def alias_edges(spark: SparkSession) -> DataFrame:
     return hi.unionByName(mid)
 
 
+def transcripts_from_events(events: DataFrame) -> DataFrame:
+    """Derive a transcript-shaped table from the driver's `events`
+    star-schema table (TESTDATA.md), deterministically: conversation =
+    user, turn order = (ts, event_id), text = the same mention grammar
+    keyed by (user_id, turn position). Lets the whole KG pipeline run
+    over driver-provided parquet and be oracle-checked in DuckDB.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = events.select(
+        "user_id", "event_id", "event_type", "ts",
+        (F.row_number().over(w) - 1).alias("t"),
+    ).withColumn("c", F.col("user_id"))
+    cols = _turn_cols()
+    return base.select(
+        F.concat(F.lit("u"), "user_id").alias("conv_id"),
+        (F.lit(2) + 3 * F.col("t")).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        cols["text"].alias("text"),
+        F.lit("").alias("tool"),
+        F.col("ts").alias("ts"),
+    )
+
+
+def transcripts_from_events_sql() -> str:
+    """DuckDB twin of `transcripts_from_events` over the pre-registered
+    `events` view."""
+    return """
+WITH ev AS (
+  SELECT user_id AS c,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS t,
+         event_type, ts
+  FROM events
+),
+g AS (
+  SELECT c, t, event_type, ts,
+    CASE WHEN c % 3 = 0 THEN c % 50 ELSE 7 END AS s,
+    (c + t) % 4 AS m
+  FROM ev
+)
+SELECT
+  'u' || c AS conv_id,
+  CAST(2 + 3*t AS INTEGER) AS turn_idx,
+  event_type AS role,
+  'c' || c || ' t' || t || ' [[E' || s || ']]'
+    || ' <<P0>> [[E' || s || ']]'
+    || CASE WHEN m >= 1 THEN ' <<P' || ((c+t+1) % 7) || '>> [[E' || ((c*3+t*5+11) % 50) || ']]' ELSE '' END
+    || CASE WHEN m >= 2 THEN ' <<P' || ((c+t+2) % 7) || '>> [[E' || ((c*3+t*5+22) % 50) || ']]' ELSE '' END
+    || CASE WHEN m >= 3 THEN ' <<P' || ((c+t+3) % 7) || '>> [[E' || ((c*3+t*5+33) % 50) || ']]' ELSE '' END
+    AS text,
+  '' AS tool,
+  ts
+FROM g
+"""
+
+
 # --- DuckDB-SQL twins (oracle side) --------------------------------------
 
 
@@ -153,6 +213,7 @@ SELECT
   CAST(2 + 3*t AS INTEGER) AS turn_idx,
   (ARRAY['user','assistant','tool'])[CAST(t % 3 AS INTEGER) + 1] AS role,
   'c' || c || ' t' || t || ' [[E' || s || ']]'
+    || ' <<P0>> [[E' || s || ']]'
     || CASE WHEN m >= 1 THEN ' <<P' || ((c+t+1) % 7) || '>> [[E' || ((c*3+t*5+11) % 50) || ']]' ELSE '' END
     || CASE WHEN m >= 2 THEN ' <<P' || ((c+t+2) % 7) || '>> [[E' || ((c*3+t*5+22) % 50) || ']]' ELSE '' END
     || CASE WHEN m >= 3 THEN ' <<P' || ((c+t+3) % 7) || '>> [[E' || ((c*3+t*5+33) % 50) || ']]' ELSE '' END
