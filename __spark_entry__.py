@@ -301,6 +301,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_lsh_pairs"] = lambda spark, sf: dedup.minhash_lsh_pairs(
         _t(spark, sf, "documents"), num_hashes=16, bands=4
     )
+    # xxhash64 variant: the 100 TB path (no cross-engine oracle —
+    # rows-only check; correctness of banding shown by the md5 twin)
+    q["minhash_lsh_pairs_fast"] = lambda spark, sf: dedup.minhash_lsh_pairs(
+        _t(spark, sf, "documents"), num_hashes=16, bands=4, hash_fn="xxhash64"
+    )
     q["token_stats"] = lambda spark, sf: text_ops.token_stats(
         _t(spark, sf, "documents")
     )

@@ -26,7 +26,7 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-SCALING_N_CONV = 30000  # ~345k turns, ~1.2M extracted facts
+SCALING_N_CONV = 100000  # ~1.15M turns, ~2.8M extracted facts
 
 
 def _spark(cpus: int, shuffle: int | None = None):
@@ -39,14 +39,18 @@ def _spark(cpus: int, shuffle: int | None = None):
     )
 
 
-def kg_job(spark, transcripts):
-    """The scaling-measured job: full construction pipeline →
-    materialized triple count (forces every stage)."""
+def kg_job(spark, transcripts, out_path="/tmp/bench_ranges"):
+    """The scaling-measured job: full construction pipeline with a
+    real materialization (write parquet) — one action, every stage."""
     from wikidata_sparql_history_spark import synth
     from wikidata_sparql_history_spark.pipeline import (
         canonicalize, coalesce, extract, linking, ordering,
     )
 
+    # explicit conv_id hash bucketing (north rule): without it a small
+    # parquet scan yields 1-2 partitions and extraction runs serial
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    transcripts = transcripts.repartition(n_buckets, "conv_id")
     turns = ordering.ordered_turns(transcripts)
     facts = extract.extract_triples(transcripts)
     linked = linking.link_mentions(facts, synth.candidate_dict(spark))
@@ -54,9 +58,9 @@ def kg_job(spark, transcripts):
         linked, synth.alias_edges(spark)
     ).dropDuplicates(["conv_id", "turn_idx", "subj", "pred", "obj"])
     ranges = coalesce.coalesce_ranges(canon, turns)
-    n_facts = canon.count()
-    n_ranges = ranges.count()
-    return n_facts, n_ranges
+    ranges.write.mode("overwrite").parquet(out_path)
+    n_ranges = spark.read.parquet(out_path).count()
+    return n_ranges
 
 
 def single_run(cpus: int) -> dict:
@@ -64,41 +68,72 @@ def single_run(cpus: int) -> dict:
     spark = _spark(cpus)
     from wikidata_sparql_history_spark import synth
 
-    transcripts = synth.transcripts(spark, SCALING_N_CONV)
-    transcripts.write.mode("overwrite").parquet("/tmp/bench_transcripts")
-    t_in = spark.read.parquet("/tmp/bench_transcripts")
+    path = "/tmp/bench_transcripts"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        synth.transcripts(spark, SCALING_N_CONV).write.mode("overwrite").parquet(path)
+    t_in = spark.read.parquet(path)
+    # warm-up: JIT + codegen + python-worker spin-up out of the measurement
+    kg_job(spark, t_in.limit(50000), out_path=f"/tmp/bench_warmup_{cpus}")
     t0 = time.monotonic()
-    n_facts, n_ranges = kg_job(spark, t_in)
+    n_ranges = kg_job(spark, t_in, out_path=f"/tmp/bench_ranges_{cpus}")
     dt = time.monotonic() - t0
     spark.stop()
     return {
         "cpus": cpus,
         "seconds": round(dt, 3),
-        "facts": n_facts,
-        "ranges": n_ranges,
-        "triples_per_sec": round(n_facts / dt, 1),
+        "triples": n_ranges,
+        "triples_per_sec": round(n_ranges / dt, 1),
     }
 
 
-def scaling_mode() -> None:
+def _burn(_):
+    t0 = time.monotonic()
+    x, iters = 0, 0
+    while time.monotonic() - t0 < 3.0:
+        for _ in range(100000):
+            x = (x * 1103515245 + 12345) % (1 << 31)
+        iters += 1
+    return iters
+
+
+def cpu_calibration(n: int) -> float:
+    """Aggregate pure-CPU throughput with n busy processes — measures
+    the *machine's* achievable scaling ceiling (SMT / memory bandwidth /
+    host contention), independent of Spark."""
+    import multiprocessing as mp
+
+    with mp.Pool(n) as p:
+        return float(sum(p.map(_burn, range(n))))
+
+
+def scaling_mode(pairs=((4, 16), (8, 32))) -> None:
+    cpus_needed = sorted({c for pair in pairs for c in pair})
     results = {}
-    for cpus in (8, 32):
+    for cpus in cpus_needed:
         out = subprocess.run(
             [sys.executable, __file__, "--single-run", "--cpus", str(cpus)],
             capture_output=True, text=True, cwd=REPO,
         )
         line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
         results[cpus] = json.loads(line)
-    t8, t32 = results[8]["seconds"], results[32]["seconds"]
-    eff = (t8 / t32) / 4
-    print(json.dumps({
+    report = {
         "metric": "kg_construct_scaling",
         "n_conv": SCALING_N_CONV,
-        "local8": results[8],
-        "local32": results[32],
-        "speedup_8_to_32": round(t8 / t32, 3),
-        "scaling_efficiency": round(eff, 3),
-    }))
+        "runs": {str(c): results[c] for c in cpus_needed},
+        "pairs": {},
+    }
+    for n, n4 in pairs:
+        tn, t4n = results[n]["seconds"], results[n4]["seconds"]
+        hw_n, hw_4n = cpu_calibration(n), cpu_calibration(n4)
+        hw_eff = (hw_4n / hw_n) / (n4 / n)
+        eff = (tn / t4n) / (n4 / n)
+        report["pairs"][f"{n}->{n4}"] = {
+            "speedup": round(tn / t4n, 3),
+            "scaling_efficiency": round(eff, 3),
+            "hardware_ceiling_efficiency": round(hw_eff, 3),
+            "efficiency_vs_ceiling": round(eff / hw_eff, 3),
+        }
+    print(json.dumps(report))
 
 
 def bench_mode() -> None:
@@ -113,7 +148,7 @@ def bench_mode() -> None:
         "kg_ranges", "kg_state_at", "kg_adjacency_stats",
         "agg_pricing_summary", "join_topk_revenue", "broadcast_dim_join",
         "window_running", "gaps_islands_sessions",
-        "dedup_exact_docs", "minhash_lsh_pairs", "cosine_topk",
+        "dedup_exact_docs", "minhash_lsh_pairs_fast", "cosine_topk",
         "token_stats", "quality_score", "language_id",
     ]
     qs = entry.queries()

@@ -20,7 +20,7 @@ def test_every_query_has_callable_and_oracle_keys_align(spark):
     missing_queries = set(oracles) - set(qs)
     assert not missing_queries, missing_queries
     no_oracle = set(qs) - set(oracles)
-    assert no_oracle <= {"simhash_docs"}, no_oracle
+    assert no_oracle <= {"simhash_docs", "minhash_lsh_pairs_fast"}, no_oracle
 
 
 def test_queries_runnable_smoke(spark):

@@ -90,18 +90,31 @@ def ngram_jaccard_pairs(
     return out.select("id1", "id2", "jaccard")
 
 
-def minhash_signatures(docs: DataFrame, num_hashes: int = 16, n: int = 3) -> DataFrame:
-    """(doc_id, sig: array<string>): per-seed min of md5(seed||shingle).
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 16, n: int = 3, hash_fn: str = "md5"
+) -> DataFrame:
+    """(doc_id, sig: array<string>): per-seed min over shingle hashes.
 
-    md5-hex string min is stable across engines → oracle-reproducible.
+    hash_fn="md5": md5(seed||shingle) hex — stable across engines →
+    oracle-reproducible in DuckDB (used by the correctness gate).
+    hash_fn="xxhash64": JVM xxhash64(seed, shingle) — ~10× cheaper,
+    the 100 TB path (same banding semantics, engine-specific values).
     """
     sh = shingles(docs, n)
-    mins = [
-        F.min(F.md5(F.concat(F.lit(str(seed) + "|"), F.col("shingle")))).alias(
-            f"h{seed}"
-        )
-        for seed in range(num_hashes)
-    ]
+    if hash_fn == "xxhash64":
+        mins = [
+            F.min(F.xxhash64(F.lit(seed), F.col("shingle"))).cast("string").alias(
+                f"h{seed}"
+            )
+            for seed in range(num_hashes)
+        ]
+    else:
+        mins = [
+            F.min(F.md5(F.concat(F.lit(str(seed) + "|"), F.col("shingle")))).alias(
+                f"h{seed}"
+            )
+            for seed in range(num_hashes)
+        ]
     sig = sh.groupBy("doc_id").agg(*mins)
     return sig.select(
         "doc_id", F.array(*[F.col(f"h{s}") for s in range(num_hashes)]).alias("sig")
@@ -113,11 +126,12 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     n: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: docs sharing any band
     of the MinHash signature. Returns (id1, id2, n_bands_shared)."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, num_hashes, n)
+    sig = minhash_signatures(docs, num_hashes, n, hash_fn)
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
