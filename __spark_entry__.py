@@ -22,7 +22,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from wikidata_sparql_history_spark import LONG_MAX, synth
-from wikidata_sparql_history_spark.operators import dedup, similarity, text as text_ops
+from wikidata_sparql_history_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    text as text_ops,
+)
 from wikidata_sparql_history_spark.pipeline import (
     canonicalize,
     coalesce,
@@ -30,7 +35,7 @@ from wikidata_sparql_history_spark.pipeline import (
     linking,
     ordering,
 )
-from wikidata_sparql_history_spark.plans import views
+from wikidata_sparql_history_spark.plans import encoding, views
 
 STATE_REV = 8  # probe revision for snapshot queries
 ASOF_TS = "2024-01-15 00:00:00"
@@ -192,6 +197,99 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         F.max("turn_idx").cast("long").alias("last_turn"),
     )
 
+    # --- more reference-parity operators over the KG tables ---
+    def dict_encode(spark, sf):
+        r = _kg_ranges(spark, sf)
+        d = encoding.build_dictionary(r)
+        return encoding.encode_triples(r, d).select(
+            "conv_id", "subj_id", "pred_id", "obj_id", "range_start", "range_end"
+        )
+
+    q["kg_dict_encode"] = dict_encode  # J6 dictionary encoding
+
+    def delta_sizes(spark, sf):
+        r = _kg_ranges(spark, sf)
+        adds = r.groupBy("conv_id", F.col("range_start").alias("turn_idx")).agg(
+            F.count("*").cast("long").alias("n")
+        ).withColumn("kind", F.lit("add"))
+        dels = (
+            r.filter(F.col("range_end") != LONG_MAX)
+            .groupBy("conv_id", F.col("range_end").alias("turn_idx"))
+            .agg(F.count("*").cast("long").alias("n"))
+            .withColumn("kind", F.lit("del"))
+        )
+        return adds.unionByName(dels)
+
+    q["kg_delta_sizes"] = delta_sizes  # A5 inserted/deleted delta indexes
+
+    def latest_obj(spark, sf):
+        from pyspark.sql import Window
+
+        r = _kg_ranges(spark, sf)
+        w = Window.partitionBy("conv_id", "subj", "pred").orderBy(
+            F.col("range_start").desc(), F.col("obj").desc()
+        )
+        return (
+            r.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("conv_id", "subj", "pred", "obj")
+        )
+
+    q["kg_latest_obj"] = latest_obj  # A6 group-wise best-rank analog
+
+    q["kg_statement_ids"] = lambda spark, sf: _kg_ranges(spark, sf).select(
+        F.sha2(
+            F.concat_ws(
+                "|", "conv_id", "subj", "pred", "obj",
+                F.col("range_start").cast("string"),
+            ),
+            256,
+        ).alias("stmt_id"),
+        "conv_id", "subj", "pred", "obj",
+    )  # F7 content-hashed statement/reference node ids
+
+    def metadata_union(spark, sf):
+        t = _kg_turns(spark, sf)
+        about = t.select(
+            "conv_id", F.col("turn_idx").cast("long").alias("turn_idx"),
+            F.lit("about").alias("rel"), F.col("conv_id").alias("value"),
+        )
+        author = t.select(
+            "conv_id", F.col("turn_idx").cast("long").alias("turn_idx"),
+            F.lit("author").alias("rel"), F.col("role").alias("value"),
+        )
+        nxt = t.filter(F.col("next_turn_idx") != LONG_MAX).select(
+            "conv_id", F.col("turn_idx").cast("long").alias("turn_idx"),
+            F.lit("next").alias("rel"),
+            F.col("next_turn_idx").cast("string").alias("value"),
+        )
+        prv = t.filter(F.col("parent_turn_idx").isNotNull()).select(
+            "conv_id", F.col("turn_idx").cast("long").alias("turn_idx"),
+            F.lit("prev").alias("rel"),
+            F.col("parent_turn_idx").cast("string").alias("value"),
+        )
+        return about.unionByName(author).unionByName(nxt).unionByName(prv)
+
+    q["kg_metadata_union"] = metadata_union  # O5 union of magic-pred relations
+
+    q["kg_state_diff"] = lambda spark, sf: views.state_at(
+        _kg_ranges(spark, sf), 14
+    ).exceptAll(views.state_at(_kg_ranges(spark, sf), STATE_REV))
+    # set-op: facts live at 14 but not at 8
+
+    def two_hop(spark, sf):
+        r = _kg_ranges(spark, sf).select("subj", "obj").distinct()
+        a = r.selectExpr("subj as s", "obj as mid")
+        b = r.selectExpr("subj as mid", "obj as o")
+        return (
+            a.join(b, "mid")
+            .filter(F.col("s") == "Q0")
+            .select("s", "mid", "o")
+            .distinct()
+        )
+
+    q["kg_two_hop"] = two_hop  # property-path / closure seed (§4)
+
     # --- star-schema operator demos (SURVEY.md §2) ---
     def agg_pricing(spark, sf):
         li = _t(spark, sf, "lineitem")
@@ -333,6 +431,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["simhash_docs"] = simhash_docs  # no SQL oracle (rows-only check)
 
+    def rollup_events(spark, sf):
+        ev = _t(spark, sf, "events")
+        return (
+            ev.rollup("event_type")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+            .select(
+                F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+                "n", "sum_value",
+            )
+        )
+
+    q["agg_rollup_events"] = rollup_events
+
+    def media_stats(spark, sf):
+        media = multimodal.media_from_documents(_t(spark, sf, "documents"))
+        feats = multimodal.extract_features(media)
+        return feats.select(
+            "media_id", "kind",
+            F.col("n_bytes").cast("long").alias("n_bytes"),
+            F.size("feature").cast("int").alias("feat_dim"),
+        )
+
+    q["media_feature_stats"] = media_stats  # mapInPandas binary plumbing
+
     return q
 
 
@@ -377,6 +502,77 @@ def oracle_sql() -> dict[str, str]:
                CAST(min(turn_idx) AS BIGINT) AS first_turn,
                CAST(max(turn_idx) AS BIGINT) AS last_turn
              FROM transcripts GROUP BY conv_id, role""",
+        "kg_dict_encode": kg
+        + """, dictx AS (
+             SELECT term, CAST(dense_rank() OVER (ORDER BY term) AS BIGINT) AS id
+             FROM (SELECT subj AS term FROM ranges
+                   UNION SELECT pred FROM ranges
+                   UNION SELECT obj FROM ranges)
+           )
+           SELECT r.conv_id, ds.id AS subj_id, dp.id AS pred_id,
+                  dd.id AS obj_id, r.range_start, r.range_end
+           FROM ranges r
+           JOIN dictx ds ON r.subj = ds.term
+           JOIN dictx dp ON r.pred = dp.term
+           JOIN dictx dd ON r.obj = dd.term""",
+        "kg_delta_sizes": kg
+        + f"""SELECT conv_id, range_start AS turn_idx,
+               CAST(count(*) AS BIGINT) AS n, 'add' AS kind
+             FROM ranges GROUP BY conv_id, range_start
+             UNION ALL
+             SELECT conv_id, range_end AS turn_idx,
+               CAST(count(*) AS BIGINT) AS n, 'del' AS kind
+             FROM ranges WHERE range_end != {LONG_MAX}
+             GROUP BY conv_id, range_end""",
+        "kg_latest_obj": kg
+        + """SELECT conv_id, subj, pred, obj FROM (
+             SELECT conv_id, subj, pred, obj,
+                    row_number() OVER (PARTITION BY conv_id, subj, pred
+                                       ORDER BY range_start DESC, obj DESC) AS rn
+             FROM ranges) WHERE rn = 1""",
+        "kg_statement_ids": kg
+        + """SELECT sha256(conv_id || '|' || subj || '|' || pred || '|' || obj
+                          || '|' || range_start) AS stmt_id,
+                   conv_id, subj, pred, obj
+             FROM ranges""",
+        "kg_metadata_union": kg
+        + f"""SELECT conv_id, turn_idx, 'about' AS rel, conv_id AS value FROM turns
+             UNION ALL
+             SELECT t.conv_id, t.turn_idx, 'author', tr.role
+             FROM turns t JOIN transcripts tr
+               ON t.conv_id = tr.conv_id AND t.turn_idx = tr.turn_idx
+             UNION ALL
+             SELECT conv_id, turn_idx, 'next', CAST(next_turn_idx AS VARCHAR)
+             FROM turns WHERE next_turn_idx != {LONG_MAX}
+             UNION ALL
+             SELECT conv_id, turn_idx, 'prev',
+                    CAST(lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY pos)
+                         AS VARCHAR)
+             FROM turns QUALIFY lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY pos)
+                        IS NOT NULL""",
+        "kg_state_diff": kg
+        + f"""SELECT conv_id, subj, pred, obj FROM ranges
+              WHERE range_start <= 14 AND 14 < range_end
+             EXCEPT ALL
+             SELECT conv_id, subj, pred, obj FROM ranges
+              WHERE range_start <= {STATE_REV} AND {STATE_REV} < range_end""",
+        "kg_two_hop": kg
+        + """, edges AS (SELECT DISTINCT subj, obj FROM ranges)
+           SELECT DISTINCT a.subj AS s, a.obj AS mid, b.obj AS o
+           FROM edges a JOIN edges b ON a.obj = b.subj
+           WHERE a.subj = 'Q0'""",
+        "agg_rollup_events": """
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY ROLLUP(event_type)""",
+        "media_feature_stats": """
+            SELECT doc_id AS media_id,
+                   (ARRAY['image','audio','video'])[CAST(doc_id % 3 AS INTEGER) + 1]
+                     AS kind,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   CAST(8 AS INTEGER) AS feat_dim
+            FROM documents""",
         "agg_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
