@@ -71,8 +71,15 @@ def _kg_linked(spark, sf_dir, salted: bool = False):
 
 
 def _kg_ranges(spark, sf_dir):
-    return coalesce.coalesce_ranges(
-        _kg_linked(spark, sf_dir), _kg_turns(spark, sf_dir)
+    # fused two-exchange plan (pipeline/construct.py); row-identical to
+    # the composable stages (tests/test_construct_fused.py)
+    from wikidata_sparql_history_spark.pipeline.construct import construct_ranges
+
+    return construct_ranges(
+        spark,
+        _kg_transcripts(spark, sf_dir),
+        synth.candidate_dict(spark),
+        synth.alias_edges(spark),
     ).select("conv_id", "subj", "pred", "obj", "range_start", "range_end")
 
 
@@ -389,6 +396,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["asof_last_event"] = asof_event
 
+    def json_extract_events(spark, sf):
+        ev = _t(spark, sf, "events")
+        return (
+            ev.select(
+                "event_type",
+                F.from_json("props", "k int").getField("k").alias("k"),
+            )
+            .groupBy("event_type")
+            .agg(
+                F.sum("k").cast("long").alias("sum_k"),
+                F.count("k").cast("long").alias("n_k"),
+            )
+        )
+
+    q["json_extract_events"] = json_extract_events  # F1 JSON parse analog
+
+    q["agg_distinct_users"] = lambda spark, sf: _t(spark, sf, "events").groupBy(
+        "event_type"
+    ).agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+
     # --- training-data operators ---
     q["dedup_exact_docs"] = lambda spark, sf: dedup.exact_dedup(
         _t(spark, sf, "documents")
@@ -633,6 +660,15 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY ts DESC, event_id DESC) AS rn
               FROM events WHERE ts <= TIMESTAMP '{ASOF_TS}')
             WHERE rn = 1""",
+        "json_extract_events": """
+            SELECT event_type,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+                     AS sum_k,
+                   CAST(count(json_extract(props, '$.k')) AS BIGINT) AS n_k
+            FROM events GROUP BY event_type""",
+        "agg_distinct_users": """
+            SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type""",
         "dedup_exact_docs": """
             SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_dupes
             FROM (SELECT doc_id,

@@ -26,7 +26,7 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-SCALING_N_CONV = 100000  # ~1.15M turns, ~2.8M extracted facts
+SCALING_N_CONV = 400000  # ~4.6M turns, ~11M extracted facts
 
 
 def _spark(cpus: int, shuffle: int | None = None):
@@ -41,26 +41,19 @@ def _spark(cpus: int, shuffle: int | None = None):
 
 def kg_job(spark, transcripts, out_path="/tmp/bench_ranges"):
     """The scaling-measured job: full construction pipeline with a
-    real materialization (write parquet) — one action, every stage."""
-    from wikidata_sparql_history_spark import synth
-    from wikidata_sparql_history_spark.pipeline import (
-        canonicalize, coalesce, extract, linking, ordering,
-    )
+    real materialization (write parquet) — one action, every stage.
 
-    # explicit conv_id hash bucketing (north rule): without it a small
-    # parquet scan yields 1-2 partitions and extraction runs serial
-    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    transcripts = transcripts.repartition(n_buckets, "conv_id")
-    turns = ordering.ordered_turns(transcripts)
-    facts = extract.extract_triples(transcripts)
-    linked = linking.link_mentions(facts, synth.candidate_dict(spark))
-    canon = canonicalize.canonicalize_triples(
-        linked, synth.alias_edges(spark)
-    ).dropDuplicates(["conv_id", "turn_idx", "subj", "pred", "obj"])
-    ranges = coalesce.coalesce_ranges(canon, turns)
+    Uses the fused two-exchange plan (pipeline/construct.py), proven
+    row-identical to the composable stages and to the DuckDB oracle.
+    """
+    from wikidata_sparql_history_spark import synth
+    from wikidata_sparql_history_spark.pipeline.construct import construct_ranges
+
+    ranges = construct_ranges(
+        spark, transcripts, synth.candidate_dict(spark), synth.alias_edges(spark)
+    )
     ranges.write.mode("overwrite").parquet(out_path)
-    n_ranges = spark.read.parquet(out_path).count()
-    return n_ranges
+    return spark.read.parquet(out_path).count()
 
 
 def single_run(cpus: int) -> dict:
@@ -72,8 +65,9 @@ def single_run(cpus: int) -> dict:
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         synth.transcripts(spark, SCALING_N_CONV).write.mode("overwrite").parquet(path)
     t_in = spark.read.parquet(path)
-    # warm-up: JIT + codegen + python-worker spin-up out of the measurement
-    kg_job(spark, t_in.limit(50000), out_path=f"/tmp/bench_warmup_{cpus}")
+    # warm-up: one full untimed run (JIT/C2, codegen, python-worker
+    # spin-up, page cache) — the measured run is steady-state
+    kg_job(spark, t_in, out_path=f"/tmp/bench_warmup_{cpus}")
     t0 = time.monotonic()
     n_ranges = kg_job(spark, t_in, out_path=f"/tmp/bench_ranges_{cpus}")
     dt = time.monotonic() - t0
@@ -106,7 +100,7 @@ def cpu_calibration(n: int) -> float:
         return float(sum(p.map(_burn, range(n))))
 
 
-def scaling_mode(pairs=((4, 16), (8, 32))) -> None:
+def scaling_mode(pairs=((8, 32),)) -> None:
     cpus_needed = sorted({c for pair in pairs for c in pair})
     results = {}
     for cpus in cpus_needed:

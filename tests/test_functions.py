@@ -1,0 +1,91 @@
+"""Scalar term functions (SURVEY.md §2.7) + dictionary encoding (J6)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wikidata_sparql_history_spark.functions import rdf_terms as rt
+from wikidata_sparql_history_spark.plans import encoding
+
+
+def one(spark, expr, **cols):
+    df = spark.createDataFrame(
+        [tuple(cols.values())], ", ".join(f"{k} string" for k in cols)
+    )
+    return df.select(expr.alias("x")).collect()[0]["x"]
+
+
+def test_sanitize_iri(spark):
+    got = one(
+        spark, rt.sanitize_iri("u"),
+        u='http://x/y z"<>\\`{|}^',
+    )
+    assert got == "http://x/y%20z%22%3C%3E%5C%60%7B%7C%7D%5E"
+
+
+def test_nt_literal_escaping_and_lang(spark):
+    df = spark.createDataFrame(
+        [('he said "hi"\n', "de"), ("plain", None)], "v string, lang string"
+    )
+    rows = df.select(rt.nt_literal("v", "lang").alias("x")).collect()
+    assert rows[0]["x"] == '"he said \\"hi\\"\\n"@de'
+    assert rows[1]["x"] == '"plain"'
+
+
+def test_nt_iri(spark):
+    assert one(spark, rt.nt_iri("u"), u="http://a/b c") == "<http://a/b%20c>"
+
+
+def test_xsd_datetime_and_epoch_roundtrip(spark):
+    df = spark.createDataFrame([("2024-03-01 12:34:56",)], "s string").select(
+        F.col("s").cast("timestamp").alias("ts")
+    )
+    row = df.select(
+        rt.xsd_datetime("ts").alias("iso"),
+        rt.from_epoch_seconds(rt.epoch_seconds(F.col("ts"))).alias("rt"),
+        F.col("ts"),
+    ).collect()[0]
+    assert row["iso"] == "2024-03-01T12:34:56Z"
+    assert row["rt"] == row["ts"]
+
+
+def test_wkt_point(spark):
+    df = spark.createDataFrame([(12.5, -3.25)], "lon double, lat double")
+    assert df.select(rt.wkt_point("lon", "lat").alias("x")).collect()[0][
+        "x"
+    ] == "Point(12.5 -3.25)"
+
+
+def test_canonical_decimal(spark):
+    df = spark.createDataFrame(
+        [(1.5,), (-2.0,), (0.0,), (3.1400,)], "v double"
+    )
+    got = [r["x"] for r in df.select(rt.canonical_decimal("v").alias("x")).collect()]
+    assert got == ["+1.5", "-2", "+0", "+3.14"]
+
+
+def test_content_hash_stable_and_distinct(spark):
+    df = spark.createDataFrame([("a", "b"), ("a", "c")], "x string, y string")
+    got = [r["h"] for r in df.select(rt.content_hash("x", "y").alias("h")).collect()]
+    assert len(set(got)) == 2 and all(len(h) == 40 for h in got)
+
+
+def test_normalize_lang(spark):
+    df = spark.createDataFrame(
+        [("simple",), ("zh-yue",), ("en",)], "lang string"
+    )
+    got = [r["x"] for r in df.select(rt.normalize_lang("lang").alias("x")).collect()]
+    assert got == ["en", "yue", "en"]
+
+
+def test_dictionary_encode_decode_roundtrip(spark):
+    triples = spark.createDataFrame(
+        [("c1", "Q1", "P1", "Q2"), ("c1", "Q2", "P2", "lit")],
+        "conv_id string, subj string, pred string, obj string",
+    )
+    d = encoding.build_dictionary(triples)
+    assert d.count() == 5  # Q1 Q2 P1 P2 lit
+    enc = encoding.encode_triples(triples, d)
+    assert set(enc.columns) >= {"conv_id", "subj_id", "pred_id", "obj_id"}
+    dec = encoding.decode_triples(enc, d).select("conv_id", "subj", "pred", "obj")
+    assert set(map(tuple, dec.collect())) == set(map(tuple, triples.collect()))

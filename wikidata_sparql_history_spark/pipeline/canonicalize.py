@@ -23,14 +23,43 @@ from pyspark.sql import functions as F
 
 MAX_ITERS = 50
 
+# alias tables at or below this row count resolve driver-side (one
+# collect, pure-python pointer chase, one createDataFrame) instead of
+# paying several serial Spark jobs; above it, the distributed
+# path-halving loop runs. The loop is the general/scale path — the
+# fast path only applies when the whole alias dimension would have
+# been broadcast anyway.
+DRIVER_THRESHOLD = 100_000
 
-def canonical_map(alias_edges: DataFrame, max_iters: int = MAX_ITERS) -> DataFrame:
+
+def _canonical_map_driver(alias_edges: DataFrame) -> DataFrame:
+    rows = alias_edges.select("src", "dst").collect()
+    parent = {r["src"]: r["dst"] for r in rows}
+    out = []
+    for src in parent:
+        cur, hops = src, 0
+        while cur in parent and hops <= len(parent):
+            cur = parent[cur]
+            hops += 1
+        out.append((src, cur))
+    return alias_edges.sparkSession.createDataFrame(
+        out, "src string, canon string"
+    )
+
+
+def canonical_map(
+    alias_edges: DataFrame,
+    max_iters: int = MAX_ITERS,
+    driver_threshold: int = DRIVER_THRESHOLD,
+) -> DataFrame:
     """(src, canon): terminal representative for every aliased node.
 
     Pointer-chasing with path halving: map = src→dst; join map with
     itself (dst→dst') and set dst := dst' where present. Each round
     doubles resolved path length.
     """
+    if driver_threshold and alias_edges.count() <= driver_threshold:
+        return _canonical_map_driver(alias_edges)
     m = alias_edges.select("src", "dst").dropDuplicates(["src"])
     for _ in range(max_iters):
         nxt = m.selectExpr("src as j_src", "dst as j_dst")

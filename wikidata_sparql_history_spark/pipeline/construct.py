@@ -1,0 +1,144 @@
+"""Fused construction pipeline — the minimal-shuffle scale path.
+
+The composable stages (ordering → extract → link → canonicalize →
+coalesce) are each correct in isolation, but chaining them naively
+shuffles the full fact stream five times (dedup exchange, turns join
+exchange, island-window exchange, final-agg exchange, plus the input
+bucketing). This module fuses them into a plan with exactly TWO wide
+exchanges of the data:
+
+  1. `repartition(n, conv_id)` on the transcripts — serves the
+     ordering window (pos / next_turn_idx, W1/W2);
+  2. `repartition(n, conv_id)` on the extractor output — mapInPandas
+     re-keys its output attributes so Catalyst forgets the physical
+     co-location; one exchange re-establishes it.
+
+Everything after exchange 2 is shuffle-free by Spark's subset rule:
+`HashPartitioning(conv_id)` satisfies `ClusteredDistribution(conv_id,
+…)`, so the per-turn dedup aggregation, the gaps-and-islands window
+(partitionBy conv_id, subj, pred, obj) and the final range aggregation
+all reuse the same partitioning. Entity linking and canonicalization
+are broadcast joins — they preserve the streamed side's partitioning.
+
+The trick that removes the turns join: the extractor passes the turn
+metadata columns (pos, next_turn_idx, ts) through the Arrow batch, so
+facts arrive already annotated with their revision context.
+
+Output is identical to the composable path (asserted in
+tests/test_construct_fused.py) and to the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .extract import MENTION_RE, PRED_RE
+from . import canonicalize as canon_mod
+from . import linking
+
+FUSED_EXTRACT_SCHEMA = (
+    "conv_id string, turn_idx long, pos long, next_turn_idx long, "
+    "ts timestamp, subj string, pred string, obj string"
+)
+
+_META = ["conv_id", "turn_idx", "pos", "next_turn_idx", "ts"]
+
+
+def _extract_with_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        pdf = pdf.reset_index(drop=True)
+        ments = pdf["text"].str.findall(MENTION_RE)
+        preds = pdf["text"].str.findall(PRED_RE)
+        pe = preds.explode().dropna().rename("pred").to_frame()
+        pe["i"] = pe.groupby(level=0).cumcount()
+        oe = ments.str[1:].explode().dropna().rename("obj").to_frame()
+        oe["i"] = oe.groupby(level=0).cumcount()
+        pairs = pe.reset_index().merge(oe.reset_index(), on=["index", "i"])
+        if pairs.empty:
+            continue
+        meta = pdf[_META].assign(subj=ments.str[0])
+        out = pairs.merge(meta, left_on="index", right_index=True)
+        out = out[out["subj"].notna()]
+        yield out[_META + ["subj", "pred", "obj"]].drop_duplicates()
+
+
+def construct_ranges(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    candidates: DataFrame | None = None,
+    aliases: DataFrame | None = None,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """transcripts → coalesced validity ranges, two-exchange plan.
+
+    Returns (conv_id, subj, pred, obj, range_start, range_end,
+    start_ts) — same contract as coalesce.coalesce_ranges over the
+    composable stages.
+    """
+    from .. import LONG_MAX
+
+    n = n_buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # exchange 1: conv_id buckets; ordering windows ride on it
+    t = transcripts.repartition(n, "conv_id")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
+    ordered = t.select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.row_number().over(w).cast("long").alias("pos"),
+        F.lead(F.col("turn_idx").cast("long"), 1, LONG_MAX).over(w).alias(
+            "next_turn_idx"
+        ),
+        "ts",
+        "text",
+    )
+
+    facts = ordered.mapInPandas(_extract_with_meta, schema=FUSED_EXTRACT_SCHEMA)
+
+    # exchange 2: re-establish conv_id co-location after the UDF
+    facts = facts.repartition(n, "conv_id")
+
+    if candidates is not None:
+        d = F.broadcast(linking.resolve_dict(candidates).select("mention", "entity_id"))
+        facts = (
+            facts.join(d.withColumnRenamed("mention", "subj"), "subj", "left")
+            .withColumn("subj", F.coalesce("entity_id", "subj"))
+            .drop("entity_id")
+            .join(d.withColumnRenamed("mention", "obj"), "obj", "left")
+            .withColumn("obj", F.coalesce("entity_id", "obj"))
+            .drop("entity_id")
+        )
+    if aliases is not None:
+        cmap = F.broadcast(canon_mod.canonical_map(aliases))
+        facts = (
+            facts.join(cmap.withColumnRenamed("src", "subj"), "subj", "left")
+            .withColumn("subj", F.coalesce("canon", "subj"))
+            .drop("canon")
+            .join(cmap.withColumnRenamed("src", "obj"), "obj", "left")
+            .withColumn("obj", F.coalesce("canon", "obj"))
+            .drop("canon")
+        )
+
+    # per-turn dedup (linking/canonicalization can merge two mentions
+    # into one entity): aggregation on conv_id-prefixed keys — no
+    # exchange under the subset rule
+    facts = facts.groupBy(
+        "conv_id", "subj", "pred", "obj", "turn_idx", "pos", "next_turn_idx"
+    ).agg(F.min("ts").alias("ts"))
+
+    # gaps-and-islands, same partitioning
+    key = ["conv_id", "subj", "pred", "obj"]
+    wk = Window.partitionBy(*key).orderBy("pos")
+    grp = (F.col("pos") - F.row_number().over(wk)).alias("grp")
+    islands = facts.select(*key, "turn_idx", "pos", "next_turn_idx", "ts", grp)
+    return islands.groupBy(*key, "grp").agg(
+        F.min("turn_idx").alias("range_start"),
+        F.max("next_turn_idx").alias("range_end"),
+        F.min_by("ts", "pos").alias("start_ts"),
+    ).drop("grp")

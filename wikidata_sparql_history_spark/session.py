@@ -51,8 +51,20 @@ def get_spark(
         # UTC so timestamp literals round-trip identically vs the
         # DuckDB oracle (naive timestamps).
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[N] = one JVM: driver memory IS executor memory. Size it
+        # so 11M-row shuffles sort in memory instead of spilling
+        # (UnsafeExternalSorter spills were the 8→32 scaling wall).
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+        )
     )
+    # shuffle/spill scratch on tmpfs when available: /tmp here is
+    # ext4-on-virtio and its bandwidth flat-lines multi-core shuffles
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
