@@ -66,15 +66,22 @@ def single_run(cpus: int) -> dict:
         synth.transcripts(spark, SCALING_N_CONV).write.mode("overwrite").parquet(path)
     t_in = spark.read.parquet(path)
     # warm-up: one full untimed run (JIT/C2, codegen, python-worker
-    # spin-up, page cache) — the measured run is steady-state
+    # spin-up, page cache); then best-of-3 — the host VM shows large
+    # temporal noise (neighbors), so min-of-reps is the steady-state
     kg_job(spark, t_in, out_path=f"/tmp/bench_warmup_{cpus}")
-    t0 = time.monotonic()
-    n_ranges = kg_job(spark, t_in, out_path=f"/tmp/bench_ranges_{cpus}")
-    dt = time.monotonic() - t0
+    reps = []
+    n_ranges = 0
+    n_reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "5"))
+    for _ in range(n_reps):
+        t0 = time.monotonic()
+        n_ranges = kg_job(spark, t_in, out_path=f"/tmp/bench_ranges_{cpus}")
+        reps.append(round(time.monotonic() - t0, 3))
     spark.stop()
+    dt = min(reps)
     return {
         "cpus": cpus,
-        "seconds": round(dt, 3),
+        "seconds": dt,
+        "reps": reps,
         "triples": n_ranges,
         "triples_per_sec": round(n_ranges / dt, 1),
     }

@@ -40,12 +40,16 @@ from .extract import MENTION_RE, PRED_RE
 from . import canonicalize as canon_mod
 from . import linking
 
+# ts crosses the Arrow boundary as epoch microseconds: pandas
+# timestamp[ns] caps at year 2262, while Spark/our corpus allow wider
+# ranges (the reference hits the same issue with year>9999 RDF dates —
+# SURVEY.md §1.2 tag 7)
 FUSED_EXTRACT_SCHEMA = (
     "conv_id string, turn_idx long, pos long, next_turn_idx long, "
-    "ts timestamp, subj string, pred string, obj string"
+    "ts_us long, subj string, pred string, obj string"
 )
 
-_META = ["conv_id", "turn_idx", "pos", "next_turn_idx", "ts"]
+_META = ["conv_id", "turn_idx", "pos", "next_turn_idx", "ts_us"]
 
 
 def _extract_with_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -95,7 +99,9 @@ def construct_ranges(
         F.lead(F.col("turn_idx").cast("long"), 1, LONG_MAX).over(w).alias(
             "next_turn_idx"
         ),
-        "ts",
+        # cast: parquet timestamps may arrive as TIMESTAMP_NTZ, which
+        # unix_micros rejects; session tz is UTC so the cast is exact
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
         "text",
     )
 
@@ -130,7 +136,7 @@ def construct_ranges(
     # exchange under the subset rule
     facts = facts.groupBy(
         "conv_id", "subj", "pred", "obj", "turn_idx", "pos", "next_turn_idx"
-    ).agg(F.min("ts").alias("ts"))
+    ).agg(F.timestamp_micros(F.min("ts_us")).alias("ts"))
 
     # gaps-and-islands, same partitioning
     key = ["conv_id", "subj", "pred", "obj"]

@@ -65,7 +65,7 @@ def _turn_cols():
         "tool": F.when(t % 3 == 2, F.concat(F.lit("tool_"), (c + t) % 5)).otherwise(
             F.lit("")
         ),
-        "ts": F.timestamp_seconds(F.lit(BASE_EPOCH) + c * 86400 + t * 60),
+        "ts": F.timestamp_seconds(F.lit(BASE_EPOCH) + (c % 3650) * 86400 + t * 60),
     }
 
 
@@ -219,7 +219,7 @@ SELECT
     || CASE WHEN m >= 3 THEN ' <<P' || ((c+t+3) % 7) || '>> [[E' || ((c*3+t*5+33) % 50) || ']]' ELSE '' END
     AS text,
   CASE WHEN t % 3 = 2 THEN 'tool_' || ((c+t) % 5) ELSE '' END AS tool,
-  TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (c*86400 + t*60) SECOND AS ts
+  TIMESTAMP '2024-01-01 00:00:00' + INTERVAL ((c % 3650)*86400 + t*60) SECOND AS ts
 FROM g
 """
 
