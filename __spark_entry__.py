@@ -178,6 +178,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kg_linked"] = lambda spark, sf: _kg_linked(spark, sf)
     q["kg_linked_salted"] = lambda spark, sf: _kg_linked(spark, sf, salted=True)
     q["kg_ranges"] = lambda spark, sf: _kg_ranges(spark, sf)
+
+    def ranges_pandas(spark, sf):
+        # the applyInPandas reference-loop witness (A2), same oracle
+        return coalesce.coalesce_ranges_pandas(
+            _kg_linked(spark, sf), _kg_turns(spark, sf)
+        ).select("conv_id", "subj", "pred", "obj", "range_start", "range_end")
+
+    q["kg_ranges_pandas"] = ranges_pandas
     q["kg_state_at"] = lambda spark, sf: views.state_at(
         _kg_ranges(spark, sf), STATE_REV
     )
@@ -504,6 +512,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_linked": linked_sql,
         "kg_linked_salted": linked_sql,
         "kg_ranges": kg
+        + "SELECT conv_id, subj, pred, obj, range_start, range_end FROM ranges",
+        "kg_ranges_pandas": kg
         + "SELECT conv_id, subj, pred, obj, range_start, range_end FROM ranges",
         "kg_state_at": kg
         + f"SELECT conv_id, subj, pred, obj FROM ranges "
