@@ -50,7 +50,9 @@ def kg_job(spark, transcripts, out_path="/tmp/bench_ranges"):
     from wikidata_sparql_history_spark.pipeline.construct import construct_ranges
 
     ranges = construct_ranges(
-        spark, transcripts, synth.candidate_dict(spark), synth.alias_edges(spark)
+        spark, transcripts, synth.candidate_dict(spark), synth.alias_edges(spark),
+        # SPARK_GRAFT_BENCH_BUILTIN=1: one-exchange all-JVM variant
+        use_builtin_extractor=os.environ.get("SPARK_GRAFT_BENCH_BUILTIN") == "1",
     )
     ranges.write.mode("overwrite").parquet(out_path)
     return spark.read.parquet(out_path).count()

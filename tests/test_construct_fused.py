@@ -43,6 +43,32 @@ def test_fused_equals_composable(spark):
     assert ts_a == ts_b
 
 
+def test_builtin_variant_equals_pandas_variant(spark):
+    t = synth.transcripts(spark, 60)
+    a = construct_ranges(
+        spark, t, synth.candidate_dict(spark), synth.alias_edges(spark)
+    )
+    b = construct_ranges(
+        spark, t, synth.candidate_dict(spark), synth.alias_edges(spark),
+        use_builtin_extractor=True,
+    )
+    rows_a = sorted(tuple(r) for r in a.select(*COLS, "start_ts").collect())
+    rows_b = sorted(tuple(r) for r in b.select(*COLS, "start_ts").collect())
+    assert rows_a == rows_b
+
+
+def test_builtin_fused_plan_has_one_exchange(spark):
+    """The all-JVM variant: Generate/Project preserve hash(conv_id),
+    so the entire pipeline needs exactly one wide exchange."""
+    t = synth.transcripts(spark, 20, shuffled=False)
+    plan = construct_ranges(
+        spark, t, synth.candidate_dict(spark), synth.alias_edges(spark),
+        use_builtin_extractor=True,
+    )._jdf.queryExecution().executedPlan().toString()
+    n_shuffles = plan.count("Exchange hashpartitioning(conv_id")
+    assert n_shuffles == 1, f"expected 1 conv_id exchange, got {n_shuffles}"
+
+
 def test_fused_plan_has_two_exchanges(spark):
     t = synth.transcripts(spark, 20, shuffled=False)
     plan = construct_ranges(

@@ -78,12 +78,20 @@ def construct_ranges(
     candidates: DataFrame | None = None,
     aliases: DataFrame | None = None,
     n_buckets: int | None = None,
+    use_builtin_extractor: bool = False,
 ) -> DataFrame:
     """transcripts → coalesced validity ranges, two-exchange plan.
 
     Returns (conv_id, subj, pred, obj, range_start, range_end,
     start_ts) — same contract as coalesce.coalesce_ranges over the
     composable stages.
+
+    `use_builtin_extractor=True` swaps the Arrow/pandas extractor for
+    the pure-columnar regexp_extract_all+posexplode twin. Generate/
+    Project preserve the child's hash partitioning (conv_id survives
+    with the same attribute), so the whole pipeline collapses to ONE
+    exchange and stays in whole-stage codegen end-to-end — the 100 TB
+    fast path. Output identical (tests/test_construct_fused.py).
     """
     from .. import LONG_MAX
 
@@ -105,10 +113,28 @@ def construct_ranges(
         "text",
     )
 
-    facts = ordered.mapInPandas(_extract_with_meta, schema=FUSED_EXTRACT_SCHEMA)
-
-    # exchange 2: re-establish conv_id co-location after the UDF
-    facts = facts.repartition(n, "conv_id")
+    if use_builtin_extractor:
+        # columnar twin: regexp_extract_all + posexplode; meta columns
+        # ride along and conv_id keeps its attribute → partitioning
+        # survives, no second exchange needed
+        ext = ordered.select(
+            *_META,
+            F.regexp_extract_all("text", F.lit(MENTION_RE), 1).alias("ments"),
+            F.regexp_extract_all("text", F.lit(PRED_RE), 1).alias("preds"),
+        ).filter((F.size("ments") >= 2) & (F.size("preds") >= 1))
+        facts = ext.select(
+            *_META,
+            F.element_at("ments", 1).alias("subj"),
+            F.posexplode("preds").alias("i", "pred"),
+            F.col("ments"),
+        ).select(
+            *_META, "subj", "pred",
+            F.element_at("ments", F.col("i") + 2).alias("obj"),
+        ).filter(F.col("obj").isNotNull())
+    else:
+        facts = ordered.mapInPandas(_extract_with_meta, schema=FUSED_EXTRACT_SCHEMA)
+        # exchange 2: re-establish conv_id co-location after the UDF
+        facts = facts.repartition(n, "conv_id")
 
     if candidates is not None:
         d = F.broadcast(linking.resolve_dict(candidates).select("mention", "entity_id"))
