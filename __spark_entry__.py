@@ -179,6 +179,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kg_linked_salted"] = lambda spark, sf: _kg_linked(spark, sf, salted=True)
     q["kg_ranges"] = lambda spark, sf: _kg_ranges(spark, sf)
 
+    def ranges_fast(spark, sf):
+        # all-JVM one-exchange variant, same oracle
+        from wikidata_sparql_history_spark.pipeline.construct import construct_ranges
+
+        return construct_ranges(
+            spark,
+            _kg_transcripts(spark, sf),
+            synth.candidate_dict(spark),
+            synth.alias_edges(spark),
+            use_builtin_extractor=True,
+        ).select("conv_id", "subj", "pred", "obj", "range_start", "range_end")
+
+    q["kg_ranges_fast"] = ranges_fast
+
     def ranges_pandas(spark, sf):
         # the applyInPandas reference-loop witness (A2), same oracle
         return coalesce.coalesce_ranges_pandas(
@@ -514,6 +528,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_ranges": kg
         + "SELECT conv_id, subj, pred, obj, range_start, range_end FROM ranges",
         "kg_ranges_pandas": kg
+        + "SELECT conv_id, subj, pred, obj, range_start, range_end FROM ranges",
+        "kg_ranges_fast": kg
         + "SELECT conv_id, subj, pred, obj, range_start, range_end FROM ranges",
         "kg_state_at": kg
         + f"SELECT conv_id, subj, pred, obj FROM ranges "

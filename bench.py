@@ -148,7 +148,7 @@ def bench_mode() -> None:
 
     # headline subset: the KG pipeline + representative operators
     names = [
-        "kg_ranges", "kg_state_at", "kg_adjacency_stats",
+        "kg_ranges", "kg_ranges_fast", "kg_state_at", "kg_adjacency_stats",
         "agg_pricing_summary", "join_topk_revenue", "broadcast_dim_join",
         "window_running", "gaps_islands_sessions",
         "dedup_exact_docs", "minhash_lsh_pairs_fast", "cosine_topk",
