@@ -155,6 +155,14 @@ def bench_mode() -> None:
         "token_stats", "quality_score", "language_id",
     ]
     qs = entry.queries()
+    # untimed warm-up at the smallest sf: JIT, codegen cache, python
+    # daemon spawn — otherwise the first timed query absorbs ~20-30 s
+    # of one-time session costs
+    try:
+        qs["kg_ranges"](spark, "/root/testdata/sf0.001").count()
+        qs["dedup_exact_docs"](spark, "/root/testdata/sf0.001").count()
+    except Exception:
+        pass
     timings: dict[str, float] = {}
     kg_triples = 0
     total0 = time.monotonic()

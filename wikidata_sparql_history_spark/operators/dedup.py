@@ -41,16 +41,35 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle): distinct word n-grams of normalized text."""
-    words = F.split(F.trim(normalize_text()), r"\s+")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
-    sh = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(words, i + k + 1) for k in range(n)])
+def shingles(docs: DataFrame, n: int = 3, distinct: bool = True) -> DataFrame:
+    """(doc_id, shingle): word n-grams of normalized text.
+
+    Implementation note: the words array is materialized behind a
+    Generate (posexplode) barrier. Building shingles with element_at
+    inside a `transform` lambda re-inlines the full split() per
+    position (no common-subexpression elimination through lambdas) —
+    O(len²) per document; this shape is O(len).
+
+    `distinct=False` skips the per-doc set shuffle — correct for
+    MinHash (min is duplicate-insensitive); Jaccard/SimHash need set
+    semantics and use the default.
+    """
+    words_expr = F.split(F.trim(normalize_text()), r"\s+")
+    w = docs.select("doc_id", words_expr.alias("words")).filter(
+        F.size("words") >= n
     )
-    return docs.select(
-        "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
-    ).filter(F.size(F.split(F.col("shingle"), " ")) == n)
+    pos = w.select(
+        "doc_id",
+        "words",
+        F.posexplode(
+            F.slice("words", 1, F.size("words") - (n - 1))
+        ).alias("i", "w0"),
+    )
+    shingle = F.concat_ws(
+        " ", "w0", *[F.element_at("words", F.col("i") + 1 + k) for k in range(1, n)]
+    )
+    out = pos.select("doc_id", shingle.alias("shingle"))
+    return out.dropDuplicates(["doc_id", "shingle"]) if distinct else out
 
 
 def ngram_jaccard_pairs(
@@ -100,12 +119,21 @@ def minhash_signatures(
     hash_fn="xxhash64": JVM xxhash64(seed, shingle) — ~10× cheaper,
     the 100 TB path (same banding semantics, engine-specific values).
     """
-    sh = shingles(docs, n)
+    sh = shingles(docs, n, distinct=False)  # min() ignores duplicates
     if hash_fn == "xxhash64":
+        # hash each shingle ONCE; derive the per-seed family with XOR
+        # bijections (distinct 64-bit constants) — no overflow under
+        # ANSI mode, 16 cheap XORs instead of 16 full string hashes
+        base = F.xxhash64(F.col("shingle"))
+
+        def seed_const(seed: int) -> int:
+            c = (seed * 0x9E3779B97F4A7C15 + 0xC2B2AE3D27D4EB4F) & ((1 << 64) - 1)
+            return c - (1 << 64) if c >= (1 << 63) else c
+
         mins = [
-            F.min(F.xxhash64(F.lit(seed), F.col("shingle"))).cast("string").alias(
-                f"h{seed}"
-            )
+            F.min(base.bitwiseXOR(F.lit(seed_const(seed))))
+            .cast("string")
+            .alias(f"h{seed}")
             for seed in range(num_hashes)
         ]
     else:
