@@ -216,7 +216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         F.countDistinct("conv_id").cast("long").alias("n_convs"),
     )
     q["kg_asof"] = lambda spark, sf: views.global_state_at_ts(
-        _kg_turns(spark, sf), F.lit(ASOF_TS).cast("timestamp")
+        _kg_turns(spark, sf), F.lit(ASOF_TS).cast("timestamp_ntz")
     ).select("conv_id", F.col("turn_idx").cast("long").alias("turn_idx"))
     q["kg_author_turns"] = lambda spark, sf: _kg_turns(spark, sf).groupBy(
         "conv_id", "role"
@@ -323,7 +323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def agg_pricing(spark, sf):
         li = _t(spark, sf, "lineitem")
         return (
-            li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
             .groupBy("l_returnflag", "l_linestatus")
             .agg(
                 F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
@@ -401,7 +401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pyspark.sql import Window
 
         ev = _t(spark, sf, "events").filter(
-            F.col("ts") <= F.lit(ASOF_TS).cast("timestamp")
+            F.col("ts") <= F.lit(ASOF_TS).cast("timestamp_ntz")
         )
         w = Window.partitionBy("user_id").orderBy(
             F.col("ts").desc(), F.col("event_id").desc()
