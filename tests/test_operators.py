@@ -121,6 +121,40 @@ def test_lsh_topk_bucket_invariant(spark):
     assert top_for_q0[0] == 9999
 
 
+def test_ivf_topk_structure_and_planted_dup(spark):
+    e = embs(spark)
+    q = e.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    res = similarity.ivf_topk(e, q, k=5, n_centroids=8, nprobe=2)
+    rows = res.collect()
+    assert rows and all(1 <= r.rank <= 5 for r in rows)
+    assert all(r.neighbor_id != r.qid for r in rows)
+    # an exact copy of the query vector lands in the same centroid's
+    # list and must rank first
+    planted = e.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 7777).alias("vec_id"), "embedding", "label"
+    )
+    res2 = similarity.ivf_topk(e.unionByName(planted), q, k=1,
+                               n_centroids=8, nprobe=2)
+    top = {r.qid: r.neighbor_id for r in res2.collect()}
+    assert top[0] == 7777
+
+
+def test_ivf_assign_invariants(spark):
+    e = embs(spark).limit(100)
+    cents = similarity.ivf_centroids(e, k=8)
+    assert cents.count() == 8
+    assign = similarity.ivf_assign(e, cents, nprobe=2)
+    per_vec = assign.groupBy("vec_id").count().collect()
+    assert all(r["count"] == 2 for r in per_vec)  # nprobe rows each
+    # deterministic under repartitioning
+    cents2 = similarity.ivf_centroids(e.repartition(7), k=8)
+    assert sorted(r.centroid_id for r in cents.collect()) == sorted(
+        r.centroid_id for r in cents2.collect()
+    )
+
+
 def test_embedding_near_dup_finds_self_planted(spark):
     e = embs(spark).limit(50)
     dup = e.filter(F.col("vec_id") == 0).select(

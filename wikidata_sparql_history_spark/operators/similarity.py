@@ -102,6 +102,86 @@ def lsh_bucket_topk(
     )
 
 
+def ivf_centroids(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 16,
+) -> DataFrame:
+    """Deterministic coarse-quantizer centroids: the k vectors with
+    the smallest xxhash64(id) — a data-dependent sample with no RNG in
+    executors, stable under repartitioning. Top-k by hash plans as
+    TakeOrderedAndProject (distributed partial top-k), not a global
+    sort."""
+    return (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")))
+        .limit(k)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("centroid_vec"),
+        )
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its `nprobe` nearest centroids by cosine
+    (one row per (vector, probe)). The centroid table is tiny and
+    broadcast; the assignment is one narrow pass over the corpus with
+    a bounded k-way fan-out per row."""
+    crossed = embeddings.select(id_col, vec_col).crossJoin(F.broadcast(centroids))
+    l = F.col(vec_col).cast("array<double>")
+    r = F.col("centroid_vec").cast("array<double>")
+    scored = crossed.withColumn("_sim", _dot(l, r) / (_norm(l) * _norm(r)))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_sim").desc(), F.col("centroid_id")
+    )
+    return (
+        scored.withColumn("probe_rank", F.row_number().over(w))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select(id_col, "centroid_id", "probe_rank")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+) -> DataFrame:
+    """ANN top-k via IVF: corpus vectors live in their 1 nearest
+    centroid's inverted list; each query probes its `nprobe` nearest
+    centroids and exact-cosine re-ranks only those lists.
+
+    The shuffle key is centroid_id — the IVF analog of the LSH bucket
+    join; recall grows with nprobe at linear extra cost.
+    """
+    centroids = ivf_centroids(embeddings, "embedding", "vec_id", n_centroids)
+    corpus_assign = ivf_assign(embeddings, centroids, nprobe=1)
+    e = embeddings.join(corpus_assign.select("vec_id", "centroid_id"), "vec_id")
+    # queries probe against the SAME corpus centroids
+    q_assign = ivf_assign(
+        queries.selectExpr("qid as vec_id", "qvec as embedding"),
+        centroids, nprobe=nprobe,
+    ).selectExpr("vec_id as qid", "centroid_id")
+    q = queries.join(q_assign, "qid")
+    crossed = e.join(F.broadcast(q), "centroid_id")
+    scored = with_cosine(crossed).filter(F.col("vec_id") != F.col("qid"))
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", F.col("vec_id").alias("neighbor_id"), "rank")
+    )
+
+
 def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.95,
                        n_planes: int = 6, dims: int = 64) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH blocking +
