@@ -754,13 +754,19 @@ sh AS (
 """
 
 
-def _ngram_jaccard_sql(threshold: float) -> str:
+def _ngram_jaccard_sql(threshold: float, max_shingle_freq: int = 1000) -> str:
+    # mirrors ngram_jaccard_pairs' hot-shingle cap (anti-join on
+    # shingles with document frequency > max_shingle_freq)
     return f"""
 WITH {_SHINGLE_BASE},
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shc AS (
+  SELECT * FROM sh WHERE shingle NOT IN (
+    SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > {max_shingle_freq})
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT id1, id2,

@@ -117,8 +117,14 @@ def scaling_mode(pairs=((8, 32),)) -> None:
             [sys.executable, __file__, "--single-run", "--cpus", str(cpus)],
             capture_output=True, text=True, cwd=REPO,
         )
-        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+        lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+        if out.returncode != 0 or not lines:
+            sys.stderr.write(out.stderr[-4000:])
+            raise SystemExit(
+                f"--single-run --cpus {cpus} failed (rc={out.returncode}, "
+                f"no JSON line)"
+            )
+        results[cpus] = json.loads(lines[-1])
     report = {
         "metric": "kg_construct_scaling",
         "n_conv": SCALING_N_CONV,

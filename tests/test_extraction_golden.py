@@ -27,6 +27,11 @@ FIXTURE = [
     # pairing is positional, not textual-order: the i-th <<P>> pairs
     # with the (i+1)-th [[E]] wherever they appear in the turn
     ("[[E1]] [[E2]] <<P3>>", {("E1", "P3", "E2")}),
+    # more <<P>> markers than non-subject mentions: the unpaired pred
+    # is dropped (ANSI regression guard — element_at would throw here;
+    # both impls must instead match the DuckDB oracle's filtered row)
+    ("[[E1]] [[E2]] <<P1>> <<P2>>", {("E1", "P1", "E2")}),
+    ("[[E1]] <<P1>> <<P2>> <<P3>>", set()),
 ]
 
 

@@ -89,3 +89,33 @@ def test_dictionary_encode_decode_roundtrip(spark):
     assert set(enc.columns) >= {"conv_id", "subj_id", "pred_id", "obj_id"}
     dec = encoding.decode_triples(enc, d).select("conv_id", "subj", "pred", "obj")
     assert set(map(tuple, dec.collect())) == set(map(tuple, triples.collect()))
+
+
+def _rand_triples(spark, n=300):
+    return spark.range(n).selectExpr(
+        "'c' || CAST(id % 7 AS STRING) AS conv_id",
+        "'Q' || CAST(hash(id) % 97 AS STRING) AS subj",
+        "'P' || CAST(id % 11 AS STRING) AS pred",
+        "'Q' || CAST(hash(id + 1) % 89 AS STRING) AS obj",
+    )
+
+
+def test_dictionary_ids_equal_global_dense_rank(spark):
+    """Distributed two-pass assignment must reproduce the oracle's
+    dense_rank-over-term-order ids exactly, at any partition count."""
+    triples = _rand_triples(spark)
+    for n_parts in (1, 3, 16):
+        d = encoding.build_dictionary(triples, num_partitions=n_parts)
+        got = sorted((r["term"], r["id"]) for r in d.collect())
+        terms = sorted({t for row in got for t in [row[0]]})
+        expected = [(t, i + 1) for i, t in enumerate(sorted(terms))]
+        assert got == expected, f"n_parts={n_parts}"
+
+
+def test_dictionary_plan_distributed(spark):
+    """No single-partition Exchange anywhere — the round-1 global
+    `Window.orderBy(term)` funneled every term through one task."""
+    d = encoding.build_dictionary(_rand_triples(spark), num_partitions=8)
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan[:3000]
+    assert "rangepartitioning" in plan

@@ -84,10 +84,15 @@ def ngram_jaccard_pairs(
     """
     sh = shingles(docs, n)
     if max_shingle_freq is not None:
-        freq = sh.groupBy("shingle").count().filter(
-            F.col("count") <= max_shingle_freq
+        # broadcast the HOT set (freq > cap) and anti-join: it is tiny
+        # by construction (each member appears in >cap docs, so there
+        # are at most corpus_shingle_count/cap of them), whereas the
+        # allowlist complement grows with the corpus and would OOM the
+        # broadcast at 100 TB.
+        hot = sh.groupBy("shingle").count().filter(
+            F.col("count") > max_shingle_freq
         )
-        sh = sh.join(F.broadcast(freq.select("shingle")), "shingle")
+        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.selectExpr("doc_id as id1", "shingle")
     b = sh.selectExpr("doc_id as id2", "shingle")

@@ -34,17 +34,44 @@ DRIVER_THRESHOLD = 100_000
 
 def _canonical_map_driver(alias_edges: DataFrame) -> DataFrame:
     rows = alias_edges.select("src", "dst").collect()
-    parent = {r["src"]: r["dst"] for r in rows}
+    parent: dict[str, str] = {}
+    for r in rows:
+        if r["src"] in parent and parent[r["src"]] != r["dst"]:
+            raise ValueError(
+                f"alias edges are not functional: src {r['src']!r} has "
+                f"multiple dsts ({parent[r['src']]!r}, {r['dst']!r}); "
+                "route through connected_components() for general graphs"
+            )
+        parent[r["src"]] = r["dst"]
     out = []
     for src in parent:
         cur, hops = src, 0
-        while cur in parent and hops <= len(parent):
+        while cur in parent:
+            if hops > len(parent):
+                raise ValueError(
+                    f"cycle in alias edges reachable from {src!r}; "
+                    "route through connected_components() for general graphs"
+                )
             cur = parent[cur]
             hops += 1
         out.append((src, cur))
     return alias_edges.sparkSession.createDataFrame(
         out, "src string, canon string"
     )
+
+
+# resolved maps cached per (session, analyzed-plan semanticHash):
+# every snapshot query re-evaluates the construction pipeline, and
+# without the cache each evaluation re-runs the collect/loop actions
+_MAP_CACHE: dict[tuple[int, int], DataFrame] = {}
+
+
+def _cache_key(alias_edges: DataFrame) -> tuple[int, int] | None:
+    try:
+        h = alias_edges._jdf.queryExecution().analyzed().semanticHash()
+        return (id(alias_edges.sparkSession), int(h))
+    except Exception:  # Spark Connect or API drift — just skip caching
+        return None
 
 
 def canonical_map(
@@ -54,13 +81,36 @@ def canonical_map(
 ) -> DataFrame:
     """(src, canon): terminal representative for every aliased node.
 
+    PRECONDITION (validated): edges form a functional forest — each src
+    has exactly one dst and no cycles exist. Non-forest inputs raise;
+    use `connected_components` for arbitrary graphs. (The reference has
+    the same assumption: a wiki redirect page has one target,
+    RevisionFileConverter.java:110-116.)
+
     Pointer-chasing with path halving: map = src→dst; join map with
     itself (dst→dst') and set dst := dst' where present. Each round
     doubles resolved path length.
     """
-    if driver_threshold and alias_edges.count() <= driver_threshold:
-        return _canonical_map_driver(alias_edges)
+    key = _cache_key(alias_edges)
+    if key is not None and key in _MAP_CACHE:
+        return _MAP_CACHE[key]
+    # one aggregate action serves the threshold gate AND the
+    # functionality check (count == distinct srcs)
+    n, n_src = alias_edges.agg(
+        F.count("*"), F.countDistinct("src")
+    ).first()
+    if n != n_src:
+        raise ValueError(
+            f"alias edges are not functional ({n} edges, {n_src} distinct "
+            "srcs); route through connected_components() for general graphs"
+        )
+    if driver_threshold and n <= driver_threshold:
+        result = _canonical_map_driver(alias_edges)
+        if key is not None:
+            _MAP_CACHE[key] = result
+        return result
     m = alias_edges.select("src", "dst").dropDuplicates(["src"])
+    converged = False
     for _ in range(max_iters):
         nxt = m.selectExpr("src as j_src", "dst as j_dst")
         m2 = (
@@ -74,9 +124,20 @@ def canonical_map(
             .filter(F.col("new_dst") != F.col("old_dst"))
         )
         if changed.isEmpty():
-            return m2.withColumnRenamed("dst", "canon")
+            m = m2
+            converged = True
+            break
         m = m2
-    return m.withColumnRenamed("dst", "canon")
+    if not converged:
+        raise ValueError(
+            f"canonical_map did not converge in {max_iters} path-halving "
+            "rounds — alias edges likely contain a cycle; route through "
+            "connected_components() for general graphs"
+        )
+    result = m.withColumnRenamed("dst", "canon")
+    if key is not None:
+        _MAP_CACHE[key] = result
+    return result
 
 
 def connected_components(edges: DataFrame, max_iters: int = MAX_ITERS) -> DataFrame:

@@ -129,7 +129,8 @@ def construct_ranges(
             F.col("ments"),
         ).select(
             *_META, "subj", "pred",
-            F.element_at("ments", F.col("i") + 2).alias("obj"),
+            # NULL (not ANSI error) when preds outnumber object mentions
+            F.try_element_at("ments", F.col("i") + 2).alias("obj"),
         ).filter(F.col("obj").isNotNull())
     else:
         facts = ordered.mapInPandas(_extract_with_meta, schema=FUSED_EXTRACT_SCHEMA)

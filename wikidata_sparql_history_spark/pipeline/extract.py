@@ -107,7 +107,10 @@ def extract_triples_builtin(transcripts: DataFrame) -> DataFrame:
         "turn_idx",
         "subj",
         "pred",
-        F.element_at("ments", F.col("i") + 2).alias("obj"),
+        # try_element_at: NULL (→ filtered) when a turn has more <<P>>
+        # markers than non-subject [[E]] mentions — plain element_at
+        # throws under Spark 4 ANSI mode, diverging from the pandas twin
+        F.try_element_at("ments", F.col("i") + 2).alias("obj"),
     )
     return df.filter(F.col("obj").isNotNull()).dropDuplicates(
         ["conv_id", "turn_idx", "subj", "pred", "obj"]

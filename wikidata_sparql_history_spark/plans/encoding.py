@@ -6,11 +6,13 @@ so index keys and comparisons are long-vs-long. The Spark analog is a
 dict *table* built with a deterministic rank over distinct terms, and
 encode/decode as broadcast joins.
 
-Determinism note: `dense_rank over (order by term)` gives stable ids
-for a fixed term universe (unlike monotonically_increasing_id) — the
-property the DuckDB oracle needs. At 100 TB you'd switch to
-`row_number` over a zipWithIndex-style assignment per append batch and
-persist the dict; the join shapes below are unchanged.
+Determinism + scale: ids equal the global `dense_rank over (order by
+term)` (what the DuckDB oracle computes), but the assignment is
+DISTRIBUTED — range-partition the distinct terms, rank locally within
+each range bucket, then add per-bucket offsets (a zipWithIndex-style
+two-pass). No single-partition Exchange anywhere in the plan
+(asserted by tests/test_operators.py::test_dictionary_plan_distributed);
+the offsets pass aggregates one row per partition.
 """
 
 from __future__ import annotations
@@ -19,16 +21,56 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def build_dictionary(triples: DataFrame) -> DataFrame:
-    """(term, id): every distinct subj/pred/obj, densely numbered."""
-    terms = (
+def _distinct_terms(triples: DataFrame) -> DataFrame:
+    return (
         triples.select(F.col("subj").alias("term"))
         .unionByName(triples.select(F.col("pred").alias("term")))
         .unionByName(triples.select(F.col("obj").alias("term")))
         .distinct()
     )
-    w = Window.orderBy("term")
-    return terms.select("term", F.dense_rank().over(w).cast("long").alias("id"))
+
+
+def build_dictionary(triples: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """(term, id): every distinct subj/pred/obj, densely numbered 1..N
+    in global term order.
+
+    Two-pass distributed rank (reference encodes terms serially into
+    RocksDB, RocksStore.java:403-453 — a Spark engine must not):
+
+      1. `repartitionByRange(term)` — globally ordered, non-overlapping
+         buckets; rank within each bucket in parallel
+         (`row_number over (partition by bucket)`, distinct terms ⇒
+         row_number ≡ dense_rank).
+      2. per-bucket counts → cumulative offsets (one row per bucket,
+         broadcast back); id = offset + local rank.
+
+    Ids are independent of the sampled range boundaries — any ordered
+    non-overlapping bucketing enumerates the sorted term sequence
+    identically — so output matches the oracle's global dense_rank.
+    """
+    spark = triples.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    terms = _distinct_terms(triples)
+    ranged = terms.repartitionByRange(n, "term").withColumn(
+        "bucket", F.spark_partition_id()
+    )
+    wb = Window.partitionBy("bucket").orderBy("term")
+    local = ranged.withColumn("local_id", F.row_number().over(wb).cast("long"))
+    counts = local.groupBy("bucket").agg(F.count("*").alias("cnt"))
+    # offsets: one row per bucket — metadata-sized. A running-sum window
+    # would add an Exchange SinglePartition node; a broadcast non-equi
+    # self-join (≤ n² tiny rows) keeps the whole plan free of them.
+    lower = counts.select(
+        F.col("bucket").alias("lb"), F.col("cnt").alias("lcnt")
+    )
+    offsets = (
+        counts.join(F.broadcast(lower), F.col("lb") < F.col("bucket"), "left")
+        .groupBy("bucket")
+        .agg(F.coalesce(F.sum("lcnt"), F.lit(0)).alias("offset"))
+    )
+    return local.join(F.broadcast(offsets), "bucket").select(
+        "term", (F.col("offset") + F.col("local_id")).alias("id")
+    )
 
 
 def encode_triples(triples: DataFrame, dictionary: DataFrame) -> DataFrame:
