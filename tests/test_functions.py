@@ -1,10 +1,14 @@
-"""Scalar term functions (SURVEY.md §2.7) + dictionary encoding (J6)."""
+"""Scalar term functions (SURVEY.md §2.7) + dictionary encoding (J6)
++ typed-value packing (F11) + N-Triples parse-back (F2 reverse)."""
 
 from __future__ import annotations
+
+import datetime as dt
 
 from pyspark.sql import functions as F
 
 from wikidata_sparql_history_spark.functions import rdf_terms as rt
+from wikidata_sparql_history_spark.functions import typed_values as tv
 from wikidata_sparql_history_spark.plans import encoding
 
 
@@ -119,3 +123,92 @@ def test_dictionary_plan_distributed(spark):
     plan = d._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan, plan[:3000]
     assert "rangepartitioning" in plan
+
+
+# --- F2 reverse: N-Triples parse-back --------------------------------------
+
+def test_nt_line_roundtrip(spark):
+    df = spark.createDataFrame(
+        [
+            ("http://x/a b", "http://p/q", 'tricky "text"\n\\t\\ \t end', "en"),
+            ("http://x/c", "http://p/r", "plain", None),
+        ],
+        "s string, p string, o string, lang string",
+    )
+    line = rt.serialize_nt_line("s", "p", F.col("o"), obj_lang="lang")
+    parsed = df.select(
+        "s", "p", "o", "lang", rt.parse_nt_line(line).alias("t")
+    ).collect()
+    for r in parsed:
+        assert r["t"]["subj"] == r["s"]
+        assert r["t"]["pred"] == r["p"]
+        assert r["t"]["obj_text"] == r["o"]
+        assert r["t"]["obj_lang"] == r["lang"]
+        assert r["t"]["obj_iri"] is None
+
+
+def test_nt_iri_object_roundtrip(spark):
+    df = spark.createDataFrame([("http://x/s", "http://p", "http://o/ h")],
+                               "s string, p string, o string")
+    line = rt.serialize_nt_line("s", "p", F.col("o"), obj_is_iri=True)
+    r = df.select(rt.parse_nt_line(line).alias("t")).collect()[0]["t"]
+    assert r["obj_iri"] == "http://o/ h"
+    assert r["obj_text"] is None and r["obj_lang"] is None
+
+
+def test_nt_unescape_inverse_of_escape(spark):
+    vals = ['a\\nb', 'x\\\\y', '"\n\r\t\\', 'plain']
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = [
+        r["u"]
+        for r in df.select(rt.nt_unescape(rt.nt_escape("v")).alias("u")).collect()
+    ]
+    assert got == vals
+
+
+# --- F11: typed-value packing -----------------------------------------------
+
+def test_typed_value_tags_and_ids(spark):
+    df = spark.createDataFrame(
+        [(0,), (1,), (-5,), (12345678901,), (-(2**40),)], "v long"
+    )
+    out = df.select(
+        "v",
+        tv.tag_of(tv.encode_integer("v")).alias("tag"),
+        tv.decode_integer(tv.encode_integer("v")).alias("rt"),
+    ).collect()
+    for r in out:
+        assert r["tag"] == tv.TAG_INTEGER
+        assert r["rt"] == r["v"], r
+
+
+def test_typed_decimal_datetime_boolean_roundtrip(spark):
+    ts = dt.datetime(2031, 7, 4, 1, 2, 3)
+    df = spark.createDataFrame(
+        [(1.5, ts, True), (-2.25, dt.datetime(1969, 12, 31, 23, 0), False)],
+        "d double, ts timestamp, b boolean",
+    )
+    out = df.select(
+        "d", "ts", "b",
+        tv.decode_decimal(tv.encode_decimal("d")).cast("double").alias("d_rt"),
+        tv.decode_datetime(tv.encode_datetime("ts")).alias("ts_rt"),
+        tv.decode_boolean(tv.encode_boolean("b")).alias("b_rt"),
+        tv.tag_of(tv.encode_decimal("d")).alias("d_tag"),
+        tv.tag_of(tv.encode_datetime("ts")).alias("ts_tag"),
+    ).collect()
+    for r in out:
+        assert r["d_rt"] == r["d"]
+        assert r["ts_rt"] == r["ts"]
+        assert r["b_rt"] == r["b"]
+        assert r["d_tag"] == tv.TAG_DECIMAL
+        assert r["ts_tag"] == tv.TAG_DATETIME
+
+
+def test_typed_structs(spark):
+    df = spark.createDataFrame([("hallo", "de"), ("x", None)], "t string, l string")
+    rows = df.select(
+        tv.lang_literal("t", "l").alias("ls"),
+        tv.typed_literal("t", F.lit(None).cast("string")).alias("tl"),
+    ).collect()
+    assert rows[0]["ls"]["text"] == "hallo" and rows[0]["ls"]["lang"] == "de"
+    assert rows[0]["tl"]["datatype"] == tv.XSD_STRING

@@ -50,6 +50,23 @@ def test_shingles_and_jaccard(spark):
     assert math.isclose(pairs[(1, 2)], 0.6, abs_tol=1e-4)
 
 
+def test_ngram_hot_shingle_cap_drops_ubiquitous(spark):
+    """Frequency cap: a shingle in > max_shingle_freq docs must not
+    contribute candidate pairs, and the plan must broadcast the tiny
+    hot set (anti-join), never the unbounded allowlist."""
+    rows = [(i, f"common one two tail{i} x{i} y{i} z{i}") for i in range(4)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    # "common one two" appears in all 4 docs; with cap=3 it is hot and
+    # dropped, leaving no shared shingles at all → no pairs
+    capped = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.01, max_shingle_freq=3)
+    assert capped.isEmpty()
+    uncapped = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.01,
+                                         max_shingle_freq=None)
+    assert uncapped.count() == 6  # all pairs share the hot shingle
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti, BuildRight" in plan, plan[:2000]
+
+
 def test_minhash_lsh_recalls_near_dupes(spark):
     d = spark.createDataFrame(
         [
@@ -164,6 +181,30 @@ def test_embedding_near_dup_finds_self_planted(spark):
     pairs = {(r.id1, r.id2) for r in
              similarity.embedding_near_dup(planted, threshold=0.999).collect()}
     assert (0, 10000) in pairs
+
+
+def test_embedding_near_dup_multitable_recovers_all_perturbed(spark):
+    """Multi-table blocking: every perturbed copy (first component
+    zeroed, cosine ≈ 0.99) must be recovered — single-table LSH misses
+    ~half of these; 8×4-plane tables must miss none. Output must also
+    contain no sub-threshold pair (exact verify)."""
+    e = embs(spark).select("vec_id", "embedding")
+    pert = e.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.concat(
+            F.array(F.lit(0.0).cast("float")),
+            F.slice("embedding", 2, F.size("embedding") - 1),
+        ).alias("embedding"),
+    )
+    corpus = e.unionByName(pert)
+    got = similarity.embedding_near_dup(
+        corpus, threshold=0.9, n_planes=4, dims=64, tables=8
+    ).collect()
+    pairs = {(r.id1, r.id2) for r in got}
+    n = e.count()
+    expected = {(i, i + 10000) for i in range(n)}
+    assert pairs == expected
+    assert all(r.cosine >= 0.9 for r in got)
 
 
 def test_language_id_and_quality(spark):

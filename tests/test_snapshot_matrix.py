@@ -95,3 +95,21 @@ def test_contexts(tables, form, s, p, o):
     assert pattern_count(mk_del(43), s, p, o) == n
     # deletions@42: none
     assert pattern_count(mk_del(42), s, p, o) == 0
+
+
+@pytest.mark.parametrize("s,p,o", BINDINGS)
+def test_get_statements_front_door(tables, s, p, o):
+    """getStatements(s,p,o,context) dispatch — one API, all 8 combos ×
+    all 4 contexts (RocksTripleSource.java:91-181)."""
+    from wikidata_sparql_history_spark.plans import statements
+
+    ranges, _ = tables
+    n = expected_count(s, p, o)
+    gs = lambda ctx: statements.get_statements(ranges, s, p, o, context=ctx)
+    assert gs(None).count() == n
+    assert gs(("state", 42)).count() == n
+    assert gs(("state", 43)).count() == 0
+    assert gs(("additions", 42)).count() == n
+    assert gs(("deletions", 43)).count() == n
+    with pytest.raises(ValueError):
+        gs(("bogus", 1)).count()

@@ -53,6 +53,79 @@ def nt_iri(col) -> Column:
     return F.concat(F.lit("<"), sanitize_iri(col), F.lit(">"))
 
 
+# --- F2 reverse: N-Triples parse-back (RocksTripleLoader.java:97-99) -------
+# the reference re-ingests its own serialized triples; parse is the
+# exact inverse of nt_escape/nt_literal/nt_iri above.
+
+def nt_unescape(col) -> Column:
+    """Inverse of nt_escape. The sentinel swap makes the sequential
+    replaces correct on inputs like '\\\\n' (escaped backslash followed
+    by a literal n), which naive ordering would corrupt."""
+    out = F.col(col) if isinstance(col, str) else col
+    out = F.replace(out, F.lit("\\\\"), F.lit("\x00"))
+    out = F.replace(out, F.lit('\\"'), F.lit('"'))
+    out = F.replace(out, F.lit("\\n"), F.lit("\n"))
+    out = F.replace(out, F.lit("\\r"), F.lit("\r"))
+    out = F.replace(out, F.lit("\\t"), F.lit("\t"))
+    out = F.replace(out, F.lit("\x00"), F.lit("\\"))
+    return out
+
+
+def unsanitize_iri(col) -> Column:
+    """Inverse of sanitize_iri (the reference's 10 %-escapes)."""
+    out = F.col(col) if isinstance(col, str) else col
+    for ch, esc in reversed(_IRI_ESCAPES):
+        out = F.replace(out, F.lit(esc), F.lit(ch))
+    return out
+
+
+NT_TRIPLE_RE = r"^<([^>]*)> <([^>]*)> (.+?) \.\s*$"
+_NT_LITERAL_RE = r'^"((?:[^"\\]|\\.)*)"(?:@([A-Za-z0-9-]+))?$'
+_NT_IRI_RE = r"^<([^>]*)>$"
+
+
+def _null_if_empty(c: Column) -> Column:
+    return F.when(c == "", None).otherwise(c)
+
+
+def parse_nt_line(col) -> Column:
+    """Parse one N-Triples line back into
+    struct<subj, pred, obj_iri, obj_text, obj_lang> — IRIs
+    %-unescaped, literal text unescaped; exactly one of obj_iri /
+    obj_text is non-null. Pure regexp_extract + replace (codegen)."""
+    line = F.col(col) if isinstance(col, str) else col
+    subj = unsanitize_iri(F.regexp_extract(line, NT_TRIPLE_RE, 1))
+    pred = unsanitize_iri(F.regexp_extract(line, NT_TRIPLE_RE, 2))
+    obj = F.regexp_extract(line, NT_TRIPLE_RE, 3)
+    obj_iri = _null_if_empty(
+        unsanitize_iri(F.regexp_extract(obj, _NT_IRI_RE, 1))
+    )
+    is_literal = obj.startswith('"')
+    obj_text = F.when(
+        is_literal, nt_unescape(F.regexp_extract(obj, _NT_LITERAL_RE, 1))
+    )
+    obj_lang = F.when(
+        is_literal, _null_if_empty(F.regexp_extract(obj, _NT_LITERAL_RE, 2))
+    )
+    return F.struct(
+        _null_if_empty(subj).alias("subj"),
+        _null_if_empty(pred).alias("pred"),
+        obj_iri.alias("obj_iri"),
+        obj_text.alias("obj_text"),
+        obj_lang.alias("obj_lang"),
+    )
+
+
+def serialize_nt_line(subj_iri, pred_iri, obj_col, obj_lang=None,
+                      obj_is_iri: bool = False) -> Column:
+    """Compose a full N-Triples line (F2 forward, whole line)."""
+    obj = nt_iri(obj_col) if obj_is_iri else nt_literal(obj_col, obj_lang)
+    return F.concat(
+        nt_iri(subj_iri), F.lit(" "), nt_iri(pred_iri), F.lit(" "),
+        obj, F.lit(" ."),
+    )
+
+
 # --- F3/F4: dateTime formatting / epoch conversion -------------------------
 # (RdfBuilder.java:455-476, FileHistoryOutput.java:41)
 

@@ -1,0 +1,88 @@
+"""Property paths: general transitive closure (SURVEY.md §4).
+
+Reference analog: SPARQL ``p+`` / ``p*`` property paths, rewritten by
+PropertyPathOptimizer.java:19-91 and evaluated via RDF4J's
+ArbitraryLengthPath. The Spark shape is an iterative frontier BFS:
+
+- seed with the 1-hop edges (the optimizer's "seed with one step"
+  rewrite),
+- each round joins the frontier with the edge table and anti-joins the
+  visited set (cycle-safe: a node reached twice contributes nothing
+  new, so the loop terminates on any finite graph),
+- ``localCheckpoint()`` cuts lineage every round so the plan doesn't
+  grow exponentially (same pattern as canonicalize.py).
+
+Scale notes (100 TB): each round is one shuffle join keyed on the
+frontier's ``dst``; the visited anti-join is keyed on (src, dst). An
+unrestricted all-pairs closure is O(V·E) — at scale you bind one end
+(``seeds``), exactly what a SPARQL engine does when the subject of
+``?s p+ ?o`` is bound. Rounds are O(diameter), not O(path count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_HOPS_DEFAULT = 64
+
+
+def transitive_closure(
+    edges: DataFrame,
+    seeds: DataFrame | None = None,
+    max_hops: int | None = None,
+) -> DataFrame:
+    """All (src, dst) pairs connected by a directed path of ≥1 edge
+    (SPARQL ``p+`` semantics; reflexive pairs appear only when a cycle
+    returns to the origin, as in ArbitraryLengthPath).
+
+    edges: (src, dst). seeds: optional one-column DataFrame (``src``)
+    restricting origins — the bound-subject rewrite. max_hops: optional
+    depth cap (``p{1,n}``); None = unbounded (cycle-safe regardless).
+    """
+    e = edges.select("src", "dst").distinct()
+    if seeds is not None:
+        frontier = (
+            seeds.select("src").distinct().join(e, "src").select("src", "dst")
+        )
+    else:
+        frontier = e
+    frontier = frontier.localCheckpoint()
+    reached = frontier
+    hops = 1
+    limit = max_hops if max_hops is not None else MAX_HOPS_DEFAULT
+    while hops < limit:
+        step = e.selectExpr("src AS _mid", "dst AS _nxt")
+        nxt = (
+            frontier.join(step, frontier["dst"] == step["_mid"])
+            .select("src", F.col("_nxt").alias("dst"))
+            .distinct()
+        )
+        fresh = nxt.join(reached, ["src", "dst"], "left_anti").localCheckpoint()
+        if fresh.isEmpty():
+            return reached
+        reached = reached.unionByName(fresh).localCheckpoint()
+        frontier = fresh
+        hops += 1
+    if max_hops is None:
+        raise RuntimeError(
+            f"transitive_closure still growing after {limit} hops — "
+            "raise max_hops if the graph genuinely has longer shortest "
+            "paths"
+        )
+    return reached
+
+
+def closure_sql(edges_cte: str, seed_filter: str = "") -> str:
+    """DuckDB oracle twin: recursive CTE with UNION (set semantics —
+    terminates on cycles). `edges_cte` must define a relation named
+    ``edges(src, dst)``; `seed_filter` e.g. "WHERE src = 'Q0'"."""
+    return f"""
+WITH RECURSIVE {edges_cte},
+reach AS (
+  SELECT src, dst FROM edges {seed_filter}
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT DISTINCT src, dst FROM reach
+"""

@@ -40,9 +40,20 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow for all pandas UDF / toPandas paths (north rule: batched
-        # Arrow transfer, no per-row Python).
+        # Arrow transfer, no per-row Python). Bigger batches amortize
+        # the JVM↔python handoff; env-tunable for the scaling bench.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "10000"),
+        )
+        # Every mapInPandas task = 1 JVM thread + 1 python worker; on a
+        # fully-loaded host, accounting 2 cpus per task stops the 2x
+        # oversubscription that stalled 8→32 scaling of the pandas path
+        # (the all-JVM path should keep the default 1).
+        .config(
+            "spark.task.cpus", os.environ.get("SPARK_GRAFT_TASK_CPUS", "1")
+        )
         # Parquet scan tuning: 128 MB splits keep ~100k tasks for 100 TB.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.compression.codec", "zstd")
