@@ -670,6 +670,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["typed_values_roundtrip"] = typed_values_roundtrip
 
+    def kg_typed_dict_encode(spark, sf):
+        # F11 × J6: dictionary ids composed with type tags
+        # (id*12+tag over dense ids, NumericValueFactory.java:1289-1296),
+        # then decoded back to terms through the same dictionary —
+        # encode arithmetic AND decode round-trip in one oracle
+        r = _kg_ranges(spark, sf)
+        d = encoding.build_dictionary(r)
+
+        def tag_expr(c):
+            return F.when(
+                F.col(c).rlike("^[QP]\\d+$"), F.lit(tv.TAG_IRI)
+            ).otherwise(F.lit(tv.TAG_STRING))
+
+        enc = r
+        for c in ("subj", "pred", "obj"):
+            enc = enc.join(
+                F.broadcast(d.select(F.col("term").alias(c),
+                                     F.col("id").alias(f"_{c}_id"))),
+                c,
+            ).withColumn(f"{c}_enc", tv.compose(f"_{c}_id", 0) + tag_expr(c))
+        dec = d.select(
+            tv.compose("id", 0).alias("_did"), F.col("term").alias("subj_rt")
+        )
+        out = enc.join(
+            F.broadcast(dec),
+            tv.compose(tv.id_of("subj_enc"), 0) == F.col("_did"),
+        )
+        return out.select(
+            "conv_id", "subj_enc", "pred_enc", "obj_enc",
+            tv.tag_of("subj_enc").alias("subj_tag"),
+            "subj_rt", "range_start", "range_end",
+        )
+
+    q["kg_typed_dict_encode"] = kg_typed_dict_encode
+
     # --- training-data operators ---
     q["dedup_exact_docs"] = lambda spark, sf: dedup.exact_dedup(
         _t(spark, sf, "documents")
@@ -680,6 +715,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_lsh_pairs"] = lambda spark, sf: dedup.minhash_lsh_pairs(
         _t(spark, sf, "documents"), num_hashes=16, bands=4
     )
+
+    def dedup_clusters(spark, sf):
+        # near-dup pairs → connected components → keeper election
+        # (transitive closure of similarity: A≈B≈C collapses even when
+        # A,C missed the cut); oracle = DuckDB recursive CC over the
+        # identical verified pair set
+        docs = _t(spark, sf, "documents")
+        pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+        return dedup.dedup_clusters(docs, pairs)
+
+    q["dedup_clusters"] = dedup_clusters
     def minhash_lsh_pairs_fast(spark, sf):
         """xxhash64 minhash — the 100 TB path. Oracle-gated via a
         planted-duplicate invariant (round-1 judge item 4): the corpus
@@ -1027,6 +1073,27 @@ def oracle_sql() -> dict[str, str]:
                 WHEN 0 THEN 'en' WHEN 1 THEN 'en' WHEN 2 THEN 'yue'
                 WHEN 3 THEN 'gsw' WHEN 4 THEN 'sgs' END AS bcp47
             FROM documents""",
+        "kg_typed_dict_encode": kg
+        + r""", dictx AS (
+             SELECT term, CAST(dense_rank() OVER (ORDER BY term) AS BIGINT) AS id
+             FROM (SELECT subj AS term FROM ranges
+                   UNION SELECT pred FROM ranges
+                   UNION SELECT obj FROM ranges)
+           )
+           SELECT r.conv_id,
+             ds.id*12 + CASE WHEN regexp_matches(r.subj, '^[QP]\d+$')
+                             THEN 0 ELSE 1 END AS subj_enc,
+             dp.id*12 + CASE WHEN regexp_matches(r.pred, '^[QP]\d+$')
+                             THEN 0 ELSE 1 END AS pred_enc,
+             dd.id*12 + CASE WHEN regexp_matches(r.obj, '^[QP]\d+$')
+                             THEN 0 ELSE 1 END AS obj_enc,
+             CAST(CASE WHEN regexp_matches(r.subj, '^[QP]\d+$')
+                       THEN 0 ELSE 1 END AS INTEGER) AS subj_tag,
+             r.subj AS subj_rt, r.range_start, r.range_end
+           FROM ranges r
+           JOIN dictx ds ON r.subj = ds.term
+           JOIN dictx dp ON r.pred = dp.term
+           JOIN dictx dd ON r.obj = dd.term""",
         "typed_values_roundtrip": """
             SELECT event_id,
                    CAST(3 AS INTEGER) AS int_tag,
@@ -1155,6 +1222,7 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             GROUP BY fp""",
         "ngram_jaccard_pairs": _ngram_jaccard_sql(threshold=0.2),
+        "dedup_clusters": _dedup_clusters_sql(threshold=0.2),
         "minhash_lsh_pairs": _minhash_lsh_sql(num_hashes=16, bands=4),
         "token_stats": rf"""
             SELECT doc_id,
@@ -1228,6 +1296,44 @@ FROM inter
 JOIN sizes s1 ON id1 = s1.doc_id
 JOIN sizes s2 ON id2 = s2.doc_id
 WHERE round(inter / (s1.n_sh + s2.n_sh - inter), 4) >= {threshold}"""
+
+
+def _dedup_clusters_sql(threshold: float, max_shingle_freq: int = 1000) -> str:
+    """Recursive connected components over the verified ngram-Jaccard
+    pair set; singletons keep themselves."""
+    return f"""
+WITH RECURSIVE {_SHINGLE_BASE},
+shc AS (
+  SELECT * FROM sh WHERE shingle NOT IN (
+    SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > {max_shingle_freq})
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT id1, id2 FROM inter
+  JOIN sizes s1 ON id1 = s1.doc_id
+  JOIN sizes s2 ON id2 = s2.doc_id
+  WHERE round(inter / (s1.n_sh + s2.n_sh - inter), 4) >= {threshold}
+),
+edges AS (
+  SELECT id1 AS src, id2 AS dst FROM pairs
+  UNION
+  SELECT id2, id1 FROM pairs
+),
+reach AS (
+  SELECT src AS node, dst FROM edges
+  UNION
+  SELECT r.node, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (
+  SELECT node, least(node, min(dst)) AS keep FROM reach GROUP BY node
+)
+SELECT d.doc_id, coalesce(c.keep, d.doc_id) AS keep_id
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node"""
 
 
 def _minhash_lsh_sql(num_hashes: int, bands: int) -> str:

@@ -67,6 +67,24 @@ def test_ngram_hot_shingle_cap_drops_ubiquitous(spark):
     assert "LeftAnti, BuildRight" in plan, plan[:2000]
 
 
+def test_dedup_clusters_transitive_keeper(spark):
+    """A≈B and B≈C collapse into one cluster with the min-id keeper
+    even though (A, C) itself misses the similarity cut; unrelated
+    docs keep themselves."""
+    d = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c d e g"),   # J(1,2) = 0.6
+            (3, "b c d e g h"),   # J(2,3) = 0.6, J(1,3) = 0.33
+            (4, "x y z w v u"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    got = {(r.doc_id, r.keep_id) for r in dedup.dedup_clusters(d, pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 4)}
+
+
 def test_minhash_lsh_recalls_near_dupes(spark):
     d = spark.createDataFrame(
         [

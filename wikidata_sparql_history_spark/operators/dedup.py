@@ -114,6 +114,28 @@ def ngram_jaccard_pairs(
     return out.select("id1", "id2", "jaccard")
 
 
+def dedup_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(doc_id, keep_id): the end of a dedup pipeline — fold near-dup
+    PAIRS into clusters (connected components, hash-min label
+    propagation) and elect the minimum doc_id as each cluster's
+    keeper. Docs in no pair keep themselves.
+
+    Transitivity matters at corpus scale: A≈B and B≈C must collapse to
+    ONE keeper even when (A, C) itself missed the similarity cut.
+    """
+    from ..pipeline.canonicalize import connected_components
+
+    edges = pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    cc = connected_components(edges)
+    return (
+        docs.select("doc_id")
+        .join(cc, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id", F.coalesce("component", F.col("doc_id")).alias("keep_id")
+        )
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, num_hashes: int = 16, n: int = 3, hash_fn: str = "md5"
 ) -> DataFrame:
