@@ -453,6 +453,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_get_statements"] = kg_get_statements
 
+    def kg_stream_extract(spark, sf):
+        # §2.8: REAL Structured Streaming run, oracle-gated — land the
+        # transcripts as files, stream them (availableNow trigger)
+        # through the same vectorized extractor into an append sink,
+        # return the sink. Oracle = the batch mentions SQL.
+        base = f"/tmp/spark_graft_stream_{os.path.basename(sf.rstrip('/'))}"
+        shutil.rmtree(base, ignore_errors=True)
+        in_dir, out_dir, chk = f"{base}/in", f"{base}/out", f"{base}/chk"
+        t = _kg_transcripts(spark, sf)
+        t.repartition(4).write.parquet(in_dir)
+        writer = incremental.stream_extract(spark, in_dir, t.schema, chk, out_dir)
+        query = writer.trigger(availableNow=True).start()
+        query.awaitTermination(300)
+        return spark.read.parquet(out_dir).select(
+            "conv_id", F.col("turn_idx").cast("long").alias("turn_idx"),
+            "subj", "pred", "obj",
+        )
+
+    q["kg_stream_extract"] = kg_stream_extract
+
     # --- star-schema operator demos (SURVEY.md §2) ---
     def agg_pricing(spark, sf):
         li = _t(spark, sf, "lineitem")
@@ -750,6 +770,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["token_stats"] = lambda spark, sf: text_ops.token_stats(
         _t(spark, sf, "documents")
     )
+    q["bpe_token_stats"] = lambda spark, sf: text_ops.bpe_token_stats(
+        _t(spark, sf, "documents")
+    )
     q["quality_score"] = lambda spark, sf: text_ops.quality_score(
         _t(spark, sf, "documents")
     )
@@ -1027,6 +1050,8 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT conv_id, subj, pred, obj, range_start, range_end FROM ranges",
         "kg_resume_ranges": kg
         + "SELECT conv_id, subj, pred, obj, range_start, range_end FROM ranges",
+        "kg_stream_extract": kg
+        + "SELECT conv_id, turn_idx, subj, pred, obj FROM mentions",
         "kg_get_statements": kg
         + f"""SELECT conv_id, subj, pred, obj, 'history' AS ctx,
                     range_start AS rs
@@ -1230,6 +1255,15 @@ def oracle_sql() -> dict[str, str]:
               CAST(len(regexp_extract_all(text, '{text_ops.WORD_RE}', 0)) AS INTEGER)
                 AS word_tokens,
               CAST(length(text) AS INTEGER) AS n_chars
+            FROM documents""",
+        "bpe_token_stats": rf"""
+            SELECT doc_id,
+              CAST(len(regexp_extract_all(text, '{text_ops.BPE_RE.replace("'", "''")}', 0))
+                AS INTEGER) AS bpe_pieces,
+              CAST(len(list_filter(
+                     regexp_extract_all(text, '{text_ops.BPE_RE.replace("'", "''")}', 0),
+                     p -> regexp_matches(p, '^ ?[A-Za-z]')))
+                AS INTEGER) AS word_pieces
             FROM documents""",
         "quality_score": _quality_sql(),
         "language_id": _language_id_sql(),

@@ -27,6 +27,29 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer, restricted to constructs RE2 (DuckDB)
+# and Java regex share: contraction suffixes, space-prefixed letter /
+# digit / punctuation runs, whitespace runs. (The upstream pattern's
+# `\s+(?!\S)` lookahead is RE2-incompatible; trailing whitespace folds
+# into the plain `\s+` branch instead — same token count.)
+BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+
+
+def bpe_token_stats(docs: DataFrame) -> DataFrame:
+    """Subword-ish token counting with the GPT-2 pre-tokenizer split —
+    the count an LLM-data pipeline budgets against (actual BPE merges
+    only split these pieces further, so this lower-bounds vocab-true
+    counts at ~word granularity)."""
+    pieces = F.regexp_extract_all("text", F.lit(BPE_RE), 0)
+    return docs.select(
+        "doc_id",
+        F.size(pieces).alias("bpe_pieces"),
+        F.size(F.filter(pieces, lambda p: p.rlike("^ ?[A-Za-z]"))).alias(
+            "word_pieces"
+        ),
+    )
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """Quality heuristics: length, punctuation ratio, stopword ratio.
 
