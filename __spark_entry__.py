@@ -352,6 +352,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_closure"] = kg_closure
 
+    def kg_path_algebra(spark, sf):
+        # the remaining property-path rewrites in one expression:
+        # (P1 / ^P2) | P3+  — sequence, inverse, alternative, plus
+        # (PropertyPathOptimizer.java:19-91 rewrite set)
+        e = _kg_ranges(spark, sf).select("subj", "pred", "obj").distinct()
+
+        def by(p):
+            return e.filter(F.col("pred") == p).select(
+                F.col("subj").alias("src"), F.col("obj").alias("dst")
+            )
+
+        seq = paths.seq_path(by("P1"), paths.inverse_path(by("P2")))
+        p3_plus = paths.transitive_closure(by("P3"))
+        return paths.alt_path(seq, p3_plus)
+
+    q["kg_path_algebra"] = kg_path_algebra
+
     def kg_connected_components(spark, sf):
         # hash-min label propagation over the alias graph (the general
         # canonicalization route for non-forest inputs)
@@ -1032,6 +1049,21 @@ def oracle_sql() -> dict[str, str]:
              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
            )
            SELECT DISTINCT src, dst FROM reach""",
+        "kg_path_algebra": kg
+        + """, e AS (SELECT DISTINCT subj, pred, obj FROM ranges),
+           pa1 AS (SELECT subj AS src, obj AS dst FROM e WHERE pred = 'P1'),
+           pa2i AS (SELECT obj AS src, subj AS dst FROM e WHERE pred = 'P2'),
+           pseq AS (
+             SELECT DISTINCT a.src, b.dst FROM pa1 a JOIN pa2i b ON a.dst = b.src
+           ),
+           pa3 AS (SELECT subj AS src, obj AS dst FROM e WHERE pred = 'P3'),
+           preach AS (
+             SELECT src, dst FROM pa3
+             UNION
+             SELECT r.src, p.dst FROM preach r JOIN pa3 p ON r.dst = p.src
+           )
+           SELECT DISTINCT src, dst FROM
+             (SELECT * FROM pseq UNION SELECT * FROM preach)""",
         "kg_connected_components": f"""
             WITH RECURSIVE aliases AS ({synth.alias_edges_sql()}),
             sym AS (

@@ -42,3 +42,31 @@ def test_closure_self_loop(spark):
     e = _edges(spark, [("a", "a"), ("a", "b")])
     got = {tuple(r) for r in paths.transitive_closure(e).collect()}
     assert got == {("a", "a"), ("a", "b")}
+
+
+def test_path_algebra(spark):
+    p = _edges(spark, [("a", "b"), ("b", "c")])
+    q = _edges(spark, [("x", "b")])
+    # ^q : b→x ; p/^q : a→x
+    inv = {tuple(r) for r in paths.inverse_path(q).collect()}
+    assert inv == {("b", "x")}
+    seq = {tuple(r) for r in paths.seq_path(p, paths.inverse_path(q)).collect()}
+    assert seq == {("a", "x")}
+    alt = {tuple(r) for r in paths.alt_path(p, q).collect()}
+    assert alt == {("a", "b"), ("b", "c"), ("x", "b")}
+
+
+def test_zero_or_more(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c")])
+    got = {tuple(r) for r in paths.zero_or_more(e).collect()}
+    assert got == {
+        ("a", "a"), ("b", "b"), ("c", "c"),       # zero-length
+        ("a", "b"), ("a", "c"), ("b", "c"),
+    }
+    seeded = {
+        tuple(r)
+        for r in paths.zero_or_more(
+            e, seeds=spark.createDataFrame([("a",)], "src string")
+        ).collect()
+    }
+    assert seeded == {("a", "a"), ("a", "b"), ("a", "c")}

@@ -73,6 +73,56 @@ def transitive_closure(
     return reached
 
 
+# --- path algebra (the remaining PropertyPathOptimizer rewrites:
+# inverse ^p, sequence p1/p2, alternative p1|p2, star p*) -------------
+
+def inverse_path(edges: DataFrame) -> DataFrame:
+    """``^p`` — swap subject/object."""
+    return edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+
+
+def seq_path(a: DataFrame, b: DataFrame) -> DataFrame:
+    """``p1/p2`` — relational composition (one equi-join, deduped)."""
+    bb = b.selectExpr("src AS _mid", "dst AS _dst")
+    return (
+        a.join(bb, a["dst"] == bb["_mid"])
+        .select("src", F.col("_dst").alias("dst"))
+        .distinct()
+    )
+
+
+def alt_path(a: DataFrame, b: DataFrame) -> DataFrame:
+    """``p1|p2`` — set union."""
+    return a.select("src", "dst").unionByName(b.select("src", "dst")).distinct()
+
+
+def zero_or_more(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    seeds: DataFrame | None = None,
+) -> DataFrame:
+    """``p*`` — transitive closure plus the zero-length identity over
+    the node universe (every evaluated node relates to itself, per
+    SPARQL ZeroOrMorePath). `nodes` defaults to the endpoints of
+    `edges`; pass the full term universe for SPARQL-exact semantics
+    over a larger graph."""
+    if nodes is None:
+        nodes = edges.select(F.col("src").alias("node")).unionByName(
+            edges.select(F.col("dst").alias("node"))
+        ).distinct()
+    if seeds is not None:
+        nodes = nodes.join(
+            seeds.select(F.col("src").alias("node")).distinct(), "node"
+        )
+    identity = nodes.select(
+        F.col("node").alias("src"), F.col("node").alias("dst")
+    )
+    plus = transitive_closure(edges, seeds=seeds)
+    return identity.unionByName(plus).distinct()
+
+
 def closure_sql(edges_cte: str, seed_filter: str = "") -> str:
     """DuckDB oracle twin: recursive CTE with UNION (set semantics —
     terminates on cycles). `edges_cte` must define a relation named
