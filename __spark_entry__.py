@@ -790,6 +790,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bpe_token_stats"] = lambda spark, sf: text_ops.bpe_token_stats(
         _t(spark, sf, "documents")
     )
+
+    def pii_redaction(spark, sf):
+        # PII scrub over docs with deterministically planted
+        # URL/email/phone (the corpus has none of its own); the oracle
+        # applies the identical rewrites in the identical order
+        docs = _t(spark, sf, "documents")
+        did = F.col("doc_id").cast("string")
+        planted = docs.select(
+            "doc_id",
+            F.concat(
+                F.col("text"), F.lit(" contact u"), did,
+                F.lit("@ex-co.com or see http://x.io/p?q="), did,
+                F.lit(" tel +1 555 2368 "), did,
+            ).alias("text"),
+        )
+        return text_ops.redact_pii(planted)
+
+    q["pii_redaction"] = pii_redaction
+
+    q["dataset_split"] = lambda spark, sf: text_ops.hash_split(
+        _t(spark, sf, "documents")
+    )
+
+    def contamination_check(spark, sf):
+        # eval-decontamination: train docs sharing ≥5 word-3-grams with
+        # the benchmark slice (doc_id % 17 == 0) get flagged
+        docs = _t(spark, sf, "documents")
+        bench = docs.filter(F.pmod("doc_id", F.lit(17)) == 0)
+        train = docs.filter(F.pmod("doc_id", F.lit(17)) != 0)
+        return dedup.contamination(train, bench, n=3, min_shared=5)
+
+    q["contamination_check"] = contamination_check
     q["quality_score"] = lambda spark, sf: text_ops.quality_score(
         _t(spark, sf, "documents")
     )
@@ -1297,6 +1329,32 @@ def oracle_sql() -> dict[str, str]:
                      p -> regexp_matches(p, '^ ?[A-Za-z]')))
                 AS INTEGER) AS word_pieces
             FROM documents""",
+        "pii_redaction": _pii_sql(),
+        "dataset_split": """
+            SELECT doc_id,
+              CASE
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                     IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+                  THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d')
+                  THEN 'val'
+                ELSE 'test'
+              END AS split
+            FROM documents""",
+        "contamination_check": f"""
+            WITH {_SHINGLE_BASE},
+            bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0),
+            tsh AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 17 != 0),
+            cnt AS (
+              SELECT doc_id, count(*) AS n_shared FROM tsh
+              WHERE shingle IN (SELECT shingle FROM bsh)
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(c.n_shared, 0) AS BIGINT) AS n_shared,
+                   CAST(coalesce(c.n_shared, 0) >= 5 AS INTEGER) AS contaminated
+            FROM documents d LEFT JOIN cnt c USING (doc_id)
+            WHERE d.doc_id % 17 != 0""",
         "quality_score": _quality_sql(),
         "language_id": _language_id_sql(),
         "fingerprint_docs": """
@@ -1429,6 +1487,32 @@ SELECT a.doc_id AS id1, b.doc_id AS id2,
 FROM banded a
 JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id"""
+
+
+def _pii_sql() -> str:
+    """DuckDB twin of redact_pii over the planted-PII input — built
+    from the same PII_PATTERNS list so the rewrites can't drift."""
+    base = (
+        "SELECT doc_id, text || ' contact u' || doc_id"
+        " || '@ex-co.com or see http://x.io/p?q=' || doc_id"
+        " || ' tel +1 555 2368 ' || doc_id AS t FROM documents"
+    )
+    sql = f"WITH s0 AS ({base})"
+    prev, carried = "s0", []
+    for i, (_, pat, token) in enumerate(text_ops.PII_PATTERNS, 1):
+        pat_sql = pat.replace("'", "''")
+        keep = ", ".join(carried + [f"len(regexp_extract_all(t, '{pat_sql}', 0)) AS n{i}"])
+        sql += (
+            f", s{i} AS (SELECT doc_id, {keep}, "
+            f"regexp_replace(t, '{pat_sql}', '{token}', 'g') AS t FROM {prev})"
+        )
+        prev = f"s{i}"
+        carried.append(f"n{i}")
+    total = " + ".join(carried)
+    return sql + (
+        f" SELECT doc_id, t AS clean, CAST({total} AS INTEGER) AS n_redactions"
+        f" FROM {prev}"
+    )
 
 
 def _quality_sql() -> str:

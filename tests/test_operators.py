@@ -225,6 +225,48 @@ def test_embedding_near_dup_multitable_recovers_all_perturbed(spark):
     assert all(r.cosine >= 0.9 for r in got)
 
 
+def test_redact_pii(spark):
+    d = spark.createDataFrame(
+        [(1, "mail me at bob.smith+x@corp.example.org or visit "
+             "https://ex.com/a?b=1 tel +44 20 7946 0958 done"),
+         (2, "nothing sensitive here")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in text_ops.redact_pii(d).collect()}
+    assert rows[1].n_redactions == 3
+    c = rows[1].clean
+    assert "<EMAIL>" in c and "<URL>" in c and "<PHONE>" in c
+    assert "bob.smith" not in c and "ex.com" not in c and "7946" not in c
+    assert rows[2].clean == "nothing sensitive here"
+    assert rows[2].n_redactions == 0
+
+
+def test_hash_split_deterministic_and_partitioned(spark):
+    d = docs(spark)
+    s1 = {r.doc_id: r.split for r in text_ops.hash_split(d).collect()}
+    s2 = {r.doc_id: r.split
+          for r in text_ops.hash_split(d.repartition(7)).collect()}
+    assert s1 == s2  # order/partitioning-independent
+    frac_train = sum(v == "train" for v in s1.values()) / len(s1)
+    assert 0.6 < frac_train < 0.9  # ~12/16 expected
+
+
+def test_contamination_flags_planted_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta iota"),  # 5 shared
+         (2, "totally different words in this one here now")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in
+            dedup.contamination(train, bench, n=3, min_shared=5).collect()}
+    assert rows[1].contaminated == 1 and rows[1].n_shared == 5
+    assert rows[2].contaminated == 0 and rows[2].n_shared == 0
+
+
 def test_language_id_and_quality(spark):
     out = text_ops.language_id(docs(spark))
     assert out.filter(F.col("pred_lang").isNull()).isEmpty()

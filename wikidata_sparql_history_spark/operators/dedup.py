@@ -136,6 +136,37 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
+def contamination(
+    train: DataFrame, benchmark: DataFrame, n: int = 3, min_shared: int = 5
+) -> DataFrame:
+    """(doc_id, n_shared, contaminated): benchmark-contamination check
+    — for each training doc, how many of its word n-grams appear
+    anywhere in the benchmark set (the standard eval-decontamination
+    gate; docs sharing ≥ `min_shared` n-grams get flagged for drop).
+
+    Shape at 100 TB: benchmark shingles are a (comparatively small)
+    distinct set — the semi-join side; the train side streams. One
+    shuffle on the shingle key, counts aggregated map-side first.
+    """
+    bench_sh = shingles(benchmark, n).select("shingle").distinct()
+    train_sh = shingles(train, n)
+    shared = train_sh.join(bench_sh, "shingle", "left_semi")
+    counts = shared.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_shared")
+    )
+    return (
+        train.select("doc_id")
+        .join(counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) >= min_shared)
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, num_hashes: int = 16, n: int = 3, hash_fn: str = "md5"
 ) -> DataFrame:

@@ -118,6 +118,44 @@ def language_id(docs: DataFrame) -> DataFrame:
     )
 
 
+# PII patterns restricted to the RE2/Java-common regex subset so the
+# DuckDB twin applies the identical rewrites in the identical order
+PII_PATTERNS = [
+    ("url", r"https?://[^ \t\n]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("phone", r"\+?[0-9][0-9 -]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def redact_pii(docs: DataFrame) -> DataFrame:
+    """(doc_id, clean, n_redactions): URL/email/phone redaction with
+    placeholder tokens — the standard pre-training scrub. Order
+    matters (URLs can contain @) and is fixed: url → email → phone."""
+    clean = F.col("text")
+    n = F.lit(0)
+    for _, pat, token in PII_PATTERNS:
+        n = n + F.size(F.regexp_extract_all(clean, F.lit(pat), 0))
+        clean = F.regexp_replace(clean, pat, token)
+    return docs.select(
+        "doc_id", clean.alias("clean"), n.cast("int").alias("n_redactions")
+    )
+
+
+def hash_split(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, split): deterministic engine-independent train/val/test
+    assignment from the first hex digit of md5(id) — 12/2/2 of 16
+    (75% / 12.5% / 12.5%). Stable under repartitioning, reproducible
+    in any engine with md5, and independent of row order — the
+    property a 100 TB corpus split must have (no RNG, no shuffle)."""
+    h = F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)
+    split = (
+        F.when(h.isin(*"0123456789ab"), "train")
+        .when(h.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    return docs.select(id_col, split.alias("split"))
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprinting: md5 of case/punctuation-normalized
     text (identical in DuckDB, so oracle-comparable)."""
