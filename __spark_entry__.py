@@ -742,6 +742,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_typed_dict_encode"] = kg_typed_dict_encode
 
+    def kg_encoded_filter(spark, sf):
+        # ExprValueConverter analog (sparql/ExprValueConverter.java:
+        # 19-44, SURVEY §4): the constant 'Q7' is rewritten to its
+        # dictionary id via a broadcast lookup, so the fact-table
+        # filter compares int64s, never strings
+        r = _kg_ranges(spark, sf)
+        d = encoding.build_dictionary(r)
+        enc = encoding.encode_triples(r, d)
+        const = d.filter(F.col("term") == "Q7").select(
+            F.col("id").alias("subj_id")
+        )
+        return enc.join(F.broadcast(const), "subj_id").select(
+            "conv_id", "subj_id", "pred_id", "obj_id",
+            "range_start", "range_end",
+        )
+
+    q["kg_encoded_filter"] = kg_encoded_filter
+
     # --- training-data operators ---
     q["dedup_exact_docs"] = lambda spark, sf: dedup.exact_dedup(
         _t(spark, sf, "documents")
@@ -1027,6 +1045,20 @@ def oracle_sql() -> dict[str, str]:
            JOIN dictx ds ON r.subj = ds.term
            JOIN dictx dp ON r.pred = dp.term
            JOIN dictx dd ON r.obj = dd.term""",
+        "kg_encoded_filter": kg
+        + """, dictx AS (
+             SELECT term, CAST(dense_rank() OVER (ORDER BY term) AS BIGINT) AS id
+             FROM (SELECT subj AS term FROM ranges
+                   UNION SELECT pred FROM ranges
+                   UNION SELECT obj FROM ranges)
+           )
+           SELECT r.conv_id, ds.id AS subj_id, dp.id AS pred_id,
+                  dd.id AS obj_id, r.range_start, r.range_end
+           FROM ranges r
+           JOIN dictx ds ON r.subj = ds.term
+           JOIN dictx dp ON r.pred = dp.term
+           JOIN dictx dd ON r.obj = dd.term
+           WHERE r.subj = 'Q7'""",
         "kg_delta_sizes": kg
         + f"""SELECT conv_id, range_start AS turn_idx,
                CAST(count(*) AS BIGINT) AS n, 'add' AS kind
