@@ -133,3 +133,33 @@ def test_ordering_dense_positions(spark):
         (F.col("mn") != 1) | (F.col("mx") != F.col("n")) | (F.col("n_last") != 1)
     )
     assert bad.isEmpty()
+
+
+def test_snapshot_filter_pushdown_and_pruning(spark, tmp_path):
+    """The scale claim in plans/views.py: snapshot predicates are plain
+    column comparisons, so over a WRITTEN table they reach the parquet
+    scan (PushedFilters) and only the selected columns are read
+    (ReadSchema) — min/max row-group pruning then applies because the
+    table is written sorted."""
+    from wikidata_sparql_history_spark.plans import views
+    from wikidata_sparql_history_spark.sources import catalog
+
+    ranges = spark.createDataFrame(
+        [("c0", "Q1", "P1", "Q2", 2, 9), ("c0", "Q1", "P1", "Q2", 11, LONG_MAX)],
+        "conv_id string, subj string, pred string, obj string, "
+        "range_start long, range_end long",
+    )
+    path = str(tmp_path / "ranges_tbl")
+    catalog.write_table(ranges, path, sort_by=["subj", "pred", "obj"])
+    rt = catalog.read_table(spark, path)
+    plan = views.state_at(rt, 8)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters:" in plan
+    assert "LessThanOrEqual(range_start,8)" in plan, plan[:2500]
+    # the PushedFilters list is truncated in toString; the untruncated
+    # DataFilters line shows the range_end predicate reached the scan
+    assert "8 < range_end" in plan.split("DataFilters:")[1], plan[:2500]
+    # column pruning: the scan schema must not include range columns'
+    # siblings we didn't ask for — state_at selects 4 columns + the 2
+    # filter columns
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "conv_id" in read_schema and "range_start" in read_schema
