@@ -926,29 +926,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_ivf_recall"] = ann_ivf_recall
 
     def ann_lsh_recall(spark, sf):
-        """Hyperplane-LSH bucket ANN recall gate, same shape as IVF:
-        union of 8 probe tables must recover ≥3/5 of the exact top-5
-        for every probe query."""
+        """Hyperplane-LSH blocking recall gate: ≥3/5 of each probe's
+        exact top-5 must share at least one of 8 2-plane bucket tables
+        with the probe (candidate-generation recall — the quantity LSH
+        blocking controls). One exploded multi-table join, not 8
+        separate joins. planes=2/tables=8 measured ≥4/5 at every sf;
+        3-4 planes dip to 2/5 — this corpus' nearest neighbors sit
+        near 60°, where sign-LSH is weakest."""
         emb = _t(spark, sf, "embeddings")
         qdf = emb.filter(F.col("vec_id") < 3).select(
             F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
         )
-        k = 5
+        k, planes, tables = 5, 2, 8
         exact = similarity.cosine_topk(emb, qdf, k=k).select("qid", "neighbor_id")
-        # planes=2/tables=8 measured ≥4/5 hits at every sf (0.001/0.01/
-        # 0.1); planes 3-4 dip to 2 hits for one probe — the corpus'
-        # nearest neighbors sit near 60°, where sign-LSH is weakest
-        cand = None
-        for t in range(8):
-            got = similarity.lsh_bucket_topk(
-                emb, qdf, k=k, n_planes=2, dims=64, table=t
-            ).select("qid", "neighbor_id")
-            cand = got if cand is None else cand.unionByName(got)
-        hits = (
-            cand.dropDuplicates(["qid", "neighbor_id"])
-            .join(exact, ["qid", "neighbor_id"])
-            .groupBy("qid")
-            .agg(F.count("*").alias("n_hits"))
+
+        def keyed(df, vec, idcol, alias):
+            arr = F.array(*[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    similarity.lsh_bucket_key(vec, planes, 64, table=t).alias(
+                        "key"
+                    ),
+                )
+                for t in range(tables)
+            ])
+            return df.select(
+                F.col(idcol).alias(alias), F.explode(arr).alias("bk")
+            ).select(alias, F.col("bk.tbl").alias("tbl"), F.col("bk.key").alias("key"))
+
+        cand = (
+            keyed(emb, "embedding", "vec_id", "neighbor_id")
+            .join(F.broadcast(keyed(qdf, "qvec", "qid", "qid")), ["tbl", "key"])
+            .filter(F.col("neighbor_id") != F.col("qid"))
+            .select("qid", "neighbor_id")
+            .distinct()
+        )
+        hits = cand.join(exact, ["qid", "neighbor_id"]).groupBy("qid").agg(
+            F.count("*").alias("n_hits")
         )
         return qdf.select("qid").join(hits, "qid", "left").select(
             "qid",
