@@ -609,6 +609,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type"
     ).agg(F.countDistinct("user_id").cast("long").alias("n_users"))
 
+    def agg_group_concat(spark, sf):
+        # SPARQL GROUP_CONCAT / SAMPLE / AVG (SimpleQueryPreparer agg
+        # set): deterministic concat = sorted distinct members; sample
+        # = min (any deterministic pick)
+        ev = _t(spark, sf, "events")
+        return ev.groupBy("event_type").agg(
+            F.array_join(
+                F.sort_array(F.collect_set(F.col("user_id").cast("string"))),
+                ",",
+            ).alias("users_concat"),
+            F.min("user_id").cast("long").alias("sample_user"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+
+    q["agg_group_concat"] = agg_group_concat
+
     # --- scalar term functions, oracle-gated (F2-F8, F11) ---
     def rdf_nt_roundtrip(spark, sf):
         # F2 forward + reverse: serialize each fact as an N-Triples
@@ -1349,6 +1365,13 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type""",
         "agg_distinct_users": """
             SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type""",
+        "agg_group_concat": """
+            SELECT event_type,
+                   string_agg(DISTINCT CAST(user_id AS VARCHAR), ','
+                              ORDER BY CAST(user_id AS VARCHAR)) AS users_concat,
+                   CAST(min(user_id) AS BIGINT) AS sample_user,
+                   round(avg(value), 4) AS avg_value
             FROM events GROUP BY event_type""",
         "dedup_exact_docs": """
             SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_dupes
