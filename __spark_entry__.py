@@ -369,6 +369,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_path_algebra"] = kg_path_algebra
 
+    def kg_pagerank(spark, sf):
+        # graph-analytics materialization over the canonical entity
+        # graph: 10 power iterations, damping .85 (simplified dangling
+        # handling, mirrored exactly by the unrolled-CTE oracle)
+        edges = _kg_ranges(spark, sf).selectExpr(
+            "subj AS src", "obj AS dst"
+        ).distinct()
+        pr = paths.pagerank(edges, iterations=10, damping=0.85)
+        return pr.select("node", F.round("rank", 6).alias("rank"))
+
+    q["kg_pagerank"] = kg_pagerank
+
     def kg_connected_components(spark, sf):
         # hash-min label propagation over the alias graph (the general
         # canonicalization route for non-forest inputs)
@@ -1158,12 +1170,19 @@ def oracle_sql() -> dict[str, str]:
            )
            SELECT DISTINCT src, dst FROM
              (SELECT * FROM pseq UNION SELECT * FROM preach)""",
+        "kg_pagerank": kg
+        + ", pr_edges AS (SELECT DISTINCT subj AS src, obj AS dst FROM ranges), "
+        + paths.pagerank_sql_tail(iterations=10, damping=0.85),
         "kg_connected_components": f"""
             WITH RECURSIVE aliases AS ({synth.alias_edges_sql()}),
             sym AS (
-              SELECT src, dst FROM aliases
-              UNION
-              SELECT dst, src FROM aliases
+              -- DISTINCT-over-UNION-ALL: a top-level UNION in a CTE
+              -- under WITH RECURSIVE does not dedup in DuckDB
+              SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM aliases
+                UNION ALL
+                SELECT dst AS src, src AS dst FROM aliases
+              )
             ),
             reach AS (
               SELECT src AS node, dst FROM sym
@@ -1513,9 +1532,11 @@ pairs AS (
   WHERE round(inter / (s1.n_sh + s2.n_sh - inter), 4) >= {threshold}
 ),
 edges AS (
-  SELECT id1 AS src, id2 AS dst FROM pairs
-  UNION
-  SELECT id2, id1 FROM pairs
+  SELECT DISTINCT src, dst FROM (
+    SELECT id1 AS src, id2 AS dst FROM pairs
+    UNION ALL
+    SELECT id2 AS src, id1 AS dst FROM pairs
+  )
 ),
 reach AS (
   SELECT src AS node, dst FROM edges

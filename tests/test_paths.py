@@ -44,6 +44,29 @@ def test_closure_self_loop(spark):
     assert got == {("a", "a"), ("a", "b")}
 
 
+def test_pagerank_matches_python_power_iteration(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["rank"] for r in paths.pagerank(df, 10, 0.85).collect()}
+
+    nodes = sorted({n for e in edges for n in e})
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(10):
+        contrib = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            contrib[d] += rank[s] / out[s]
+        rank = {v: (1 - 0.85) / n + 0.85 * contrib[v] for v in nodes}
+    for v in nodes:
+        assert abs(got[v] - rank[v]) < 1e-9, (v, got[v], rank[v])
+    # ranks reflect structure: 'a' (two in-edges incl. from the hub
+    # cycle) outranks the dangling-source 'd'
+    assert got["a"] > got["d"]
+
+
 def test_path_algebra(spark):
     p = _edges(spark, [("a", "b"), ("b", "c")])
     q = _edges(spark, [("x", "b")])

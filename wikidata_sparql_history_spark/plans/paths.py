@@ -123,6 +123,89 @@ def zero_or_more(
     return identity.unionByName(plus).distinct()
 
 
+def pagerank(
+    edges: DataFrame, iterations: int = 10, damping: float = 0.85
+) -> DataFrame:
+    """(node, rank): fixed-iteration power-method PageRank over a
+    directed edge table — the classic KG "importance" materialization
+    over the canonical entity graph.
+
+    Simplified form (dangling mass NOT redistributed; documented and
+    mirrored exactly by the SQL oracle):
+        rank' = (1-d)/N + d * Σ_in rank(src)/out_deg(src)
+
+    Scale shape: each iteration is one shuffle join on src + one
+    aggregation on dst; lineage cut with localCheckpoint per iteration
+    (same pattern as the closure/CC loops). N is a one-time count —
+    metadata, not data, on the driver.
+    """
+    e = edges.select("src", "dst").distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    base = (1.0 - damping) / n
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(out_deg, "src")
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contribs.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + damping * F.coalesce("s", F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def pagerank_sql_tail(iterations: int = 10, damping: float = 0.85) -> str:
+    """DuckDB twin: the power iteration unrolled as chained CTEs
+    (standard SQL forbids aggregation in a recursive member). Expects
+    a CTE ``pr_edges(src, dst)`` (distinct) in scope; appends pr_* CTEs
+    and the final SELECT. All float expressions are written so both
+    engines execute the identical IEEE operations."""
+    d = repr(damping)
+    # NB: a top-level UNION in a CTE body under WITH RECURSIVE is
+    # treated by DuckDB as recursive anchor/step and does NOT dedup —
+    # always wrap as DISTINCT over a UNION ALL subquery
+    parts = [
+        "pr_nodes AS (SELECT DISTINCT node FROM ("
+        "SELECT src AS node FROM pr_edges "
+        "UNION ALL SELECT dst AS node FROM pr_edges))",
+        "pr_n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM pr_nodes)",
+        "pr_deg AS (SELECT src, count(*) AS deg FROM pr_edges GROUP BY src)",
+        "pr_r0 AS (SELECT node, 1.0 / (SELECT n FROM pr_n) AS rank FROM pr_nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        prev = f"pr_r{i - 1}"
+        parts.append(
+            f"pr_r{i} AS (SELECT nn.node, "
+            f"(1 - {d}) / (SELECT n FROM pr_n) + {d} * coalesce(c.s, 0) AS rank "
+            f"FROM pr_nodes nn LEFT JOIN ("
+            f"SELECT e.dst AS node, sum(r.rank / dg.deg) AS s "
+            f"FROM pr_edges e JOIN {prev} r ON e.src = r.node "
+            f"JOIN pr_deg dg ON e.src = dg.src GROUP BY e.dst) c "
+            f"ON nn.node = c.node)"
+        )
+    return (
+        ", ".join(parts)
+        + f" SELECT node, round(rank, 6) AS rank FROM pr_r{iterations}"
+    )
+
+
 def closure_sql(edges_cte: str, seed_filter: str = "") -> str:
     """DuckDB oracle twin: recursive CTE with UNION (set semantics —
     terminates on cycles). `edges_cte` must define a relation named
