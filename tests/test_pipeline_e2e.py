@@ -152,12 +152,20 @@ def test_snapshot_filter_pushdown_and_pruning(spark, tmp_path):
     path = str(tmp_path / "ranges_tbl")
     catalog.write_table(ranges, path, sort_by=["subj", "pred", "obj"])
     rt = catalog.read_table(spark, path)
-    plan = views.state_at(rt, 8)._jdf.queryExecution().executedPlan().toString()
-    assert "PushedFilters:" in plan
-    assert "LessThanOrEqual(range_start,8)" in plan, plan[:2500]
-    # the PushedFilters list is truncated in toString; the untruncated
-    # DataFilters line shows the range_end predicate reached the scan
-    assert "8 < range_end" in plan.split("DataFilters:")[1], plan[:2500]
+    # scan-node metadata strings are truncated at 100 chars by default,
+    # and the cut point shifts with attribute-id width in a long-lived
+    # session — widen it so the assertions see the full filter lists
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        plan = (
+            views.state_at(rt, 8)._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+    scan = plan.split("FileScan parquet")[1]
+    pushed = scan.split("PushedFilters:")[1].splitlines()[0]
+    assert "LessThanOrEqual(range_start,8)" in pushed, scan[:2000]
+    assert "GreaterThan(range_end,8)" in pushed, scan[:2000]
     # column pruning: the scan schema must not include range columns'
     # siblings we didn't ask for — state_at selects 4 columns + the 2
     # filter columns
