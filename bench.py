@@ -60,6 +60,17 @@ def kg_job(spark, transcripts, out_path="/tmp/bench_ranges"):
 
 def single_run(cpus: int) -> dict:
     os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
+    builtin = os.environ.get("SPARK_GRAFT_BENCH_BUILTIN") == "1"
+    # pandas-path levers (round-2 judge item 8), env-overridable:
+    # - task.cpus=2 accounts each mapInPandas task as JVM thread +
+    #   python worker, stopping 2x oversubscription at high core counts
+    #   (the all-JVM variant keeps 1 — no python lane to account for)
+    # - Arrow batch per level: fewer JVM<->python handoffs at 8 cores
+    #   (40k rows/batch), finer task balance at 32 (10k)
+    os.environ.setdefault("SPARK_GRAFT_TASK_CPUS", "1" if builtin else "2")
+    os.environ.setdefault(
+        "SPARK_GRAFT_ARROW_BATCH", "40000" if cpus <= 8 else "10000"
+    )
     spark = _spark(cpus)
     from wikidata_sparql_history_spark import synth
 
@@ -156,6 +167,11 @@ def bench_mode() -> None:
     names = [
         "kg_ranges", "kg_ranges_fast", "kg_state_at", "kg_adjacency_stats",
         "kg_closure",
+        # encoded-fact path (ExprValueConverter promise): first rep pays
+        # the dictionary build + encode; the long-vs-string snapshot
+        # delta vs kg_state_at is the BENCH.md comparison row
+        "kg_state_at_encoded",
+        "kg_statements_reified",
         "agg_pricing_summary", "join_topk_revenue", "broadcast_dim_join",
         "window_running", "gaps_islands_sessions",
         "dedup_exact_docs", "minhash_lsh_pairs_fast", "cosine_topk",

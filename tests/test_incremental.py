@@ -71,3 +71,30 @@ def test_stream_extract_end_to_end(spark, tmp_path):
     want = extract_triples(t)
     assert got.count() == want.count()
     assert got.exceptAll(want).isEmpty()
+
+
+def test_close_open_ranges_at_per_conv(spark):
+    from wikidata_sparql_history_spark.streaming.incremental import (
+        close_open_ranges_at,
+    )
+
+    schema = (
+        "conv_id string, subj string, pred string, obj string, "
+        "ranges array<struct<start:bigint,end:bigint>>"
+    )
+    existing = spark.createDataFrame(
+        [
+            ("c1", "Q1", "P1", "Q2", [(2, LONG_MAX)]),   # conv gets new turns
+            ("c1", "Q1", "P2", "Q3", [(2, 5)]),          # already closed
+            ("c2", "Q9", "P1", "Q2", [(2, LONG_MAX)]),   # conv has NO new turns
+        ],
+        schema,
+    )
+    boundaries = spark.createDataFrame([("c1", 30)], "conv_id string, at_rev long")
+    got = {
+        (r.conv_id, r.subj, r.pred): [(g.start, g.end) for g in r.ranges]
+        for r in close_open_ranges_at(existing, boundaries).collect()
+    }
+    assert got[("c1", "Q1", "P1")] == [(2, 30)]       # open → closed at 30
+    assert got[("c1", "Q1", "P2")] == [(2, 5)]        # closed stays put
+    assert got[("c2", "Q9", "P1")] == [(2, LONG_MAX)]  # no boundary → open

@@ -45,7 +45,10 @@ def test_closure_self_loop(spark):
 
 
 def test_pagerank_matches_python_power_iteration(spark):
-    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")]
+    # 'e' is a DANGLING node (in-edges only): its rank must be
+    # redistributed uniformly each iteration, not silently leaked
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a"),
+             ("c", "e")]
     df = spark.createDataFrame(edges, "src string, dst string")
     got = {r["node"]: r["rank"] for r in paths.pagerank(df, 10, 0.85).collect()}
 
@@ -59,9 +62,14 @@ def test_pagerank_matches_python_power_iteration(spark):
         contrib = {v: 0.0 for v in nodes}
         for s, d in edges:
             contrib[d] += rank[s] / out[s]
-        rank = {v: (1 - 0.85) / n + 0.85 * contrib[v] for v in nodes}
+        dm = sum(rank[v] for v in nodes if v not in out)
+        rank = {
+            v: (1 - 0.85) / n + 0.85 * (contrib[v] + dm / n) for v in nodes
+        }
     for v in nodes:
         assert abs(got[v] - rank[v]) < 1e-9, (v, got[v], rank[v])
+    # total mass is conserved under dangling redistribution
+    assert abs(sum(got.values()) - 1.0) < 1e-9
     # ranks reflect structure: 'a' (two in-edges incl. from the hub
     # cycle) outranks the dangling-source 'd'
     assert got["a"] > got["d"]

@@ -1,0 +1,86 @@
+"""Statement-reification golden test (SURVEY.md §5 item 1 —
+RdfBuilderTest.java:41-66 analog): fixed fixture turns → exact
+expected statement nodes, qualifier rows, and reference rows."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+
+from wikidata_sparql_history_spark import synth
+from wikidata_sparql_history_spark.pipeline import reify
+
+TS = dt.datetime(2024, 1, 1)
+
+TEXTS = {
+    # plain statement, no markers
+    "c0": "x [[E1]] <<P2>> [[E3]]",
+    # preferred rank + qualifier + reference on one segment
+    "c1": "[[E1]] <<P2>>! [[E3]] ((P4:E5)) {{S6}}",
+    # two statements same (subj, pred): one preferred → best_rank only
+    # on the preferred one (BestRankFilter)
+    "c2": "[[E1]] <<P2>>! [[E3]] <<P2>> [[E8]]",
+    # two normals, no preferred → both best
+    "c3": "[[E1]] <<P2>> [[E3]] <<P2>> [[E8]]",
+    # qualifier object is itself linkable+canonicalizable (E30 → Q30 → Q5)
+    "c4": "[[E1]] <<P2>> [[E3]] ((P4:E30))",
+}
+
+
+def _sid(conv, turn, s, p, o):
+    raw = "\x1f".join([conv, str(turn), s, p, o])
+    return hashlib.sha256(raw.encode()).hexdigest()[:16]
+
+
+def _rid(src):
+    return hashlib.sha256(f"ref\x1f{src}".encode()).hexdigest()[:16]
+
+
+def test_reify_golden(spark):
+    rows = [
+        (c, 1, "user", text, "", TS) for c, text in TEXTS.items()
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    r = reify.reify_statements(
+        df, synth.candidate_dict(spark), synth.alias_edges(spark)
+    )
+
+    nodes = {
+        (x.conv_id, x.turn_idx, x.stmt_id, x.subj, x.pred, x.obj,
+         x.stmt_rank, x.best_rank)
+        for x in reify.statement_nodes(r).collect()
+    }
+    # E1→Q1, E3→Q3, E8→Q8 (linked, already canonical)
+    expected_nodes = {
+        ("c0", 1, _sid("c0", 1, "Q1", "P2", "Q3"), "Q1", "P2", "Q3", "normal", 1),
+        ("c1", 1, _sid("c1", 1, "Q1", "P2", "Q3"), "Q1", "P2", "Q3", "preferred", 1),
+        # preferred exists in (c2, Q1, P2) → the normal one is NOT best
+        ("c2", 1, _sid("c2", 1, "Q1", "P2", "Q3"), "Q1", "P2", "Q3", "preferred", 1),
+        ("c2", 1, _sid("c2", 1, "Q1", "P2", "Q8"), "Q1", "P2", "Q8", "normal", 0),
+        # no preferred → both best
+        ("c3", 1, _sid("c3", 1, "Q1", "P2", "Q3"), "Q1", "P2", "Q3", "normal", 1),
+        ("c3", 1, _sid("c3", 1, "Q1", "P2", "Q8"), "Q1", "P2", "Q8", "normal", 1),
+        ("c4", 1, _sid("c4", 1, "Q1", "P2", "Q3"), "Q1", "P2", "Q3", "normal", 1),
+    }
+    assert nodes == expected_nodes
+
+    quals = {
+        (x.stmt_id, x.qual_pred, x.qual_obj)
+        for x in reify.statement_qualifiers(r).collect()
+    }
+    # c4's qualifier object E30 links to Q30, which canonicalizes to Q5
+    expected_quals = {
+        (_sid("c1", 1, "Q1", "P2", "Q3"), "P4", "Q5"),
+        (_sid("c4", 1, "Q1", "P2", "Q3"), "P4", "Q5"),
+    }
+    assert quals == expected_quals
+
+    refs = {
+        (x.stmt_id, x.ref_id, x.ref_src)
+        for x in reify.statement_references(r).collect()
+    }
+    assert refs == {(_sid("c1", 1, "Q1", "P2", "Q3"), _rid("S6"), "S6")}

@@ -50,9 +50,24 @@ def _c(col) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def _guard_inline(id_col: Column, what: str) -> Column:
+    """Enforce the packing bound |id| <= MAX_INLINE_ID loudly and
+    uniformly: out-of-range ids would overflow id*12 — throwing under
+    ANSI mode but silently corrupting tags with ANSI off. raise_error
+    only evaluates on the violating rows."""
+    return F.when(F.abs(id_col) <= F.lit(MAX_INLINE_ID), id_col).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"typed_values: {what} id out of inline range: "),
+                id_col.cast("string"),
+            )
+        ).cast("long")
+    )
+
+
 def compose(id_col, tag: int) -> Column:
     """encoded = id * 12 + tag (tag in [0, 12))."""
-    return (_c(id_col).cast("long") * N_TAGS + F.lit(tag)).cast("long")
+    return (_guard_inline(_c(id_col).cast("long"), "compose") * N_TAGS + F.lit(tag)).cast("long")
 
 
 def tag_of(encoded) -> Column:
@@ -81,9 +96,21 @@ def decode_integer(encoded) -> Column:
 
 def encode_decimal(v) -> Column:
     """Fixed-point inline decimal: 4 decimal places (reference inlines
-    decimals with bounded scale the same way)."""
-    scaled = F.round(_c(v).cast("decimal(38,8)") * DECIMAL_SCALE, 0).cast("long")
-    return compose(scaled, TAG_DECIMAL)
+    decimals with bounded scale the same way). The inline-range check
+    runs on the DECIMAL value, before the long cast can overflow."""
+    scaled = F.round(_c(v).cast("decimal(38,8)") * DECIMAL_SCALE, 0)
+    bounded = F.when(
+        F.abs(scaled) <= F.lit(MAX_INLINE_ID).cast("decimal(38,8)"),
+        scaled.cast("long"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("typed_values: decimal out of inline range: "),
+                scaled.cast("string"),
+            )
+        ).cast("long")
+    )
+    return compose(bounded, TAG_DECIMAL)
 
 
 def decode_decimal(encoded) -> Column:
@@ -101,6 +128,36 @@ def encode_datetime(ts) -> Column:
 
 def decode_datetime(encoded) -> Column:
     return F.timestamp_seconds(id_of(encoded))
+
+
+# xsd:dateTime lexicals the inline encoding can represent: years
+# 0001..9999, no leap seconds (the reference keeps the string form for
+# anything else, NumericValueFactory.java:353-371; SURVEY §1.2 tag 7)
+MIN_INLINE_EPOCH = -62_135_596_800  # 0001-01-01T00:00:00Z
+MAX_INLINE_EPOCH = 253_402_300_799  # 9999-12-31T23:59:59Z
+
+
+def encode_datetime_lexical(lex) -> Column:
+    """struct<encoded:long, fallback:string> from an xsd:dateTime
+    lexical: exactly one field is non-null. Parseable timestamps within
+    years 0001..9999 inline as epoch seconds (tag DATETIME); everything
+    the inline form can't represent — year > 9999, negative years,
+    leap-second :60, junk — keeps its lexical form (the reference's
+    string fallback, NumericValueFactory.java:353-371).
+
+    try_to_timestamp is the JVM-side gate: it returns NULL instead of
+    throwing on unparseable input, and the explicit epoch bounds catch
+    engines that happen to parse extended years."""
+    lex = _c(lex)
+    ts = F.try_to_timestamp(lex)
+    epoch = F.unix_timestamp(ts)
+    ok = ts.isNotNull() & epoch.between(
+        F.lit(MIN_INLINE_EPOCH), F.lit(MAX_INLINE_EPOCH)
+    )
+    return F.struct(
+        F.when(ok, compose(epoch, TAG_DATETIME)).alias("encoded"),
+        F.when(~ok, lex).alias("fallback"),
+    )
 
 
 def encode_boolean(v) -> Column:

@@ -93,24 +93,34 @@ def ngram_jaccard_pairs(
             F.col("count") > max_shingle_freq
         )
         sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.selectExpr("doc_id as id1", "shingle")
-    b = sh.selectExpr("doc_id as id2", "shingle")
+    # thread each doc's shingle count through the inverted-index join so
+    # the standard size bound prunes BEFORE the co-occurrence aggregate:
+    # jaccard <= min(n1,n2)/max(n1,n2), so j >= t requires
+    # min >= t * max — obviously-dissimilar pairs never reach the
+    # groupBy. (The tiny epsilon keeps float rounding from over-pruning
+    # exact-boundary pairs, e.g. t*n2 = 3.0000000000000004 vs n1 = 3.)
+    from pyspark.sql import Window
+
+    sh = sh.withColumn(
+        "n_sh", F.count("*").over(Window.partitionBy("doc_id"))
+    )
+    a = sh.selectExpr("doc_id as id1", "n_sh as n1", "shingle")
+    b = sh.selectExpr("doc_id as id2", "n_sh as n2", "shingle")
+    eps = 1e-9
+    size_ok = (
+        (F.col("n1") >= F.col("n2") * F.lit(threshold) - F.lit(eps))
+        & (F.col("n2") >= F.col("n1") * F.lit(threshold) - F.lit(eps))
+    )
     inter = (
         a.join(b, "shingle")
-        .filter(F.col("id1") < F.col("id2"))
-        .groupBy("id1", "id2")
+        .filter((F.col("id1") < F.col("id2")) & size_ok)
+        .groupBy("id1", "id2", "n1", "n2")
         .agg(F.count("*").alias("inter"))
     )
-    out = (
-        inter.join(sizes.selectExpr("doc_id as id1", "n_sh as n1"), "id1")
-        .join(sizes.selectExpr("doc_id as id2", "n_sh as n2"), "id2")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 4),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    out = inter.withColumn(
+        "jaccard",
+        F.round(F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 4),
+    ).filter(F.col("jaccard") >= threshold)
     return out.select("id1", "id2", "jaccard")
 
 

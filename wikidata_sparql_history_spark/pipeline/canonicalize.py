@@ -60,16 +60,27 @@ def _canonical_map_driver(alias_edges: DataFrame) -> DataFrame:
     )
 
 
-# resolved maps cached per (session, analyzed-plan semanticHash):
+# resolved maps cached per (session-token, analyzed-plan semanticHash):
 # every snapshot query re-evaluates the construction pipeline, and
 # without the cache each evaluation re-runs the collect/loop actions
-_MAP_CACHE: dict[tuple[int, int], DataFrame] = {}
+_MAP_CACHE: dict[tuple, DataFrame] = {}
 
 
-def _cache_key(alias_edges: DataFrame) -> tuple[int, int] | None:
+def session_token(spark) -> tuple:
+    """Stable identity for a live session: applicationId + context start
+    time. id(session) is unsafe — CPython reuses ids after GC, so a new
+    session could silently inherit a dead session's cached DataFrames."""
+    try:
+        sc = spark.sparkContext
+        return (sc.applicationId, sc.startTime)
+    except Exception:  # Spark Connect — no sparkContext
+        return (id(spark),)
+
+
+def _cache_key(alias_edges: DataFrame) -> tuple | None:
     try:
         h = alias_edges._jdf.queryExecution().analyzed().semanticHash()
-        return (id(alias_edges.sparkSession), int(h))
+        return (*session_token(alias_edges.sparkSession), int(h))
     except Exception:  # Spark Connect or API drift — just skip caching
         return None
 
@@ -92,29 +103,38 @@ def canonical_map(
     doubles resolved path length.
     """
     key = _cache_key(alias_edges)
-    if key is not None and key in _MAP_CACHE:
-        return _MAP_CACHE[key]
-    # one aggregate action serves the threshold gate AND the
-    # functionality check (count == distinct srcs)
-    n, n_src = alias_edges.agg(
-        F.count("*"), F.countDistinct("src")
-    ).first()
+    if key is not None:
+        # the threshold changes WHICH implementation runs — a cached
+        # driver-path map must not satisfy a forced-loop request
+        key = (*key, driver_threshold)
+        if key in _MAP_CACHE:
+            return _MAP_CACHE[key]
+    # exact duplicate (src, dst) rows are functionally valid — only a
+    # src with two DIFFERENT dsts violates the forest precondition, so
+    # the gate compares distinct edges against distinct srcs
+    edges = alias_edges.select("src", "dst").dropDuplicates()
+    n, n_src = edges.agg(F.count("*"), F.countDistinct("src")).first()
     if n != n_src:
         raise ValueError(
-            f"alias edges are not functional ({n} edges, {n_src} distinct "
-            "srcs); route through connected_components() for general graphs"
+            f"alias edges are not functional ({n} distinct edges, {n_src} "
+            "distinct srcs); route through connected_components() for "
+            "general graphs"
         )
     if driver_threshold and n <= driver_threshold:
-        result = _canonical_map_driver(alias_edges)
+        result = _canonical_map_driver(edges)
         if key is not None:
             _MAP_CACHE[key] = result
         return result
-    m = alias_edges.select("src", "dst").dropDuplicates(["src"])
+    m = edges
     converged = False
     for _ in range(max_iters):
         nxt = m.selectExpr("src as j_src", "dst as j_dst")
+        # plain shuffle join: the map is the BIG side here (the loop
+        # only runs above driver_threshold), so forcing a broadcast of
+        # nxt would ship the whole map to every executor each round and
+        # OOM at scale; AQE still picks broadcast when it actually fits
         m2 = (
-            m.join(F.broadcast(nxt), F.col("dst") == F.col("j_src"), "left")
+            m.join(nxt, F.col("dst") == F.col("j_src"), "left")
             .select("src", F.coalesce("j_dst", "dst").alias("dst"))
         )
         m2 = m2.localCheckpoint()  # cut lineage each round
@@ -175,10 +195,19 @@ def connected_components(edges: DataFrame, max_iters: int = MAX_ITERS) -> DataFr
     return labels
 
 
-def canonicalize_triples(triples: DataFrame, alias_edges: DataFrame) -> DataFrame:
+def canonicalize_triples(
+    triples: DataFrame,
+    alias_edges: DataFrame,
+    driver_threshold: int = DRIVER_THRESHOLD,
+) -> DataFrame:
     """Rewrite subj/obj through the canonical map (broadcast join —
-    the alias universe is tiny relative to the fact table)."""
-    cmap = F.broadcast(canonical_map(alias_edges))
+    the alias universe is tiny relative to the fact table).
+
+    `driver_threshold=0` forces the distributed path-halving loop in
+    `canonical_map` (the scale path) regardless of alias-table size —
+    used by the ★kg_linked_distributed contract query so the loop
+    itself is oracle-exercised, not just the driver fast path."""
+    cmap = F.broadcast(canonical_map(alias_edges, driver_threshold=driver_threshold))
     out = (
         triples.join(cmap.withColumnRenamed("src", "subj"), "subj", "left")
         .withColumn("subj_c", F.coalesce("canon", "subj"))

@@ -30,7 +30,11 @@ def _distinct_terms(triples: DataFrame) -> DataFrame:
     )
 
 
-def build_dictionary(triples: DataFrame, num_partitions: int | None = None) -> DataFrame:
+def build_dictionary(
+    triples: DataFrame,
+    num_partitions: int | None = None,
+    checkpoint: bool = True,
+) -> DataFrame:
     """(term, id): every distinct subj/pred/obj, densely numbered 1..N
     in global term order.
 
@@ -56,6 +60,17 @@ def build_dictionary(triples: DataFrame, num_partitions: int | None = None) -> D
     )
     wb = Window.partitionBy("bucket").orderBy("term")
     local = ranged.withColumn("local_id", F.row_number().over(wb).cast("long"))
+    # pin ONE materialization: `local` feeds both the offsets branch and
+    # the final join, and its bucket assignment comes from a sampled
+    # range exchange + spark_partition_id. Relying on Catalyst's
+    # ReuseExchange to keep the two branches consistent is fragile
+    # (plan canonicalization changes / Connect could split them into
+    # two shuffles with different sampled boundaries → wrong ids);
+    # localCheckpoint makes both consumers read the same blocks.
+    # (`checkpoint=False` exists only for the plan-shape test, which
+    # needs the pre-checkpoint plan text to assert on.)
+    if checkpoint:
+        local = local.localCheckpoint()
     counts = local.groupBy("bucket").agg(F.count("*").alias("cnt"))
     # offsets: one row per bucket — metadata-sized. A running-sum window
     # would add an Exchange SinglePartition node; a broadcast non-equi

@@ -130,14 +130,18 @@ def pagerank(
     directed edge table — the classic KG "importance" materialization
     over the canonical entity graph.
 
-    Simplified form (dangling mass NOT redistributed; documented and
-    mirrored exactly by the SQL oracle):
-        rank' = (1-d)/N + d * Σ_in rank(src)/out_deg(src)
+    Standard form WITH dangling-mass redistribution (mirrored exactly
+    by the SQL oracle): nodes with no out-edges leak their rank, which
+    is re-spread uniformly each iteration —
+        rank' = (1-d)/N + d * (Σ_in rank(src)/out_deg(src) + D/N)
+    where D = Σ rank over dangling nodes.
 
     Scale shape: each iteration is one shuffle join on src + one
-    aggregation on dst; lineage cut with localCheckpoint per iteration
-    (same pattern as the closure/CC loops). N is a one-time count —
-    metadata, not data, on the driver.
+    aggregation on dst, plus one anti-join + global agg for the
+    dangling sum (a ONE-ROW DataFrame, attached via broadcast
+    crossJoin — no driver action inside the loop); lineage cut with
+    localCheckpoint per iteration (same pattern as the closure/CC
+    loops). N is a one-time count — metadata, not data, on the driver.
     """
     e = edges.select("src", "dst").distinct()
     nodes = (
@@ -158,13 +162,20 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
+        dang = (
+            ranks.join(out_deg, ranks["node"] == out_deg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
         ranks = (
             nodes.join(contribs.withColumnRenamed("dst", "node"), "node", "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "node",
-                (F.lit(base) + damping * F.coalesce("s", F.lit(0.0))).alias(
-                    "rank"
-                ),
+                (
+                    F.lit(base)
+                    + damping
+                    * (F.coalesce("s", F.lit(0.0)) + F.col("dm") / n)
+                ).alias("rank"),
             )
             .localCheckpoint()
         )
@@ -178,25 +189,41 @@ def pagerank_sql_tail(iterations: int = 10, damping: float = 0.85) -> str:
     and the final SELECT. All float expressions are written so both
     engines execute the identical IEEE operations."""
     d = repr(damping)
-    # NB: a top-level UNION in a CTE body under WITH RECURSIVE is
+    # NB 1: a top-level UNION in a CTE body under WITH RECURSIVE is
     # treated by DuckDB as recursive anchor/step and does NOT dedup —
-    # always wrap as DISTINCT over a UNION ALL subquery
+    # always wrap as DISTINCT over a UNION ALL subquery.
+    # NB 2: every multiply-referenced CTE is AS MATERIALIZED — DuckDB
+    # inlines plain CTEs per reference, and with pr_r{i} referenced
+    # twice per iteration (contrib join + dangling sum) the inlined
+    # prefix re-expands 2^iterations times, re-opening the base parquet
+    # thousands of times ("Too many open files").
     parts = [
-        "pr_nodes AS (SELECT DISTINCT node FROM ("
-        "SELECT src AS node FROM pr_edges "
-        "UNION ALL SELECT dst AS node FROM pr_edges))",
-        "pr_n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM pr_nodes)",
-        "pr_deg AS (SELECT src, count(*) AS deg FROM pr_edges GROUP BY src)",
-        "pr_r0 AS (SELECT node, 1.0 / (SELECT n FROM pr_n) AS rank FROM pr_nodes)",
+        "pr_base AS MATERIALIZED (SELECT src, dst FROM pr_edges)",
+        "pr_nodes AS MATERIALIZED (SELECT DISTINCT node FROM ("
+        "SELECT src AS node FROM pr_base "
+        "UNION ALL SELECT dst AS node FROM pr_base))",
+        "pr_n AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM pr_nodes)",
+        "pr_deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM pr_base GROUP BY src)",
+        "pr_r0 AS MATERIALIZED "
+        "(SELECT node, 1.0 / (SELECT n FROM pr_n) AS rank FROM pr_nodes)",
     ]
     for i in range(1, iterations + 1):
         prev = f"pr_r{i - 1}"
+        # dangling mass: rank parked on nodes with no out-edges,
+        # redistributed uniformly (identical FP order to the Spark
+        # loop: d * (contrib + dm/n))
         parts.append(
-            f"pr_r{i} AS (SELECT nn.node, "
-            f"(1 - {d}) / (SELECT n FROM pr_n) + {d} * coalesce(c.s, 0) AS rank "
+            f"pr_d{i} AS MATERIALIZED "
+            f"(SELECT coalesce(sum(rank), 0) AS dm FROM {prev} "
+            f"WHERE node NOT IN (SELECT src FROM pr_base))"
+        )
+        parts.append(
+            f"pr_r{i} AS MATERIALIZED (SELECT nn.node, "
+            f"(1 - {d}) / (SELECT n FROM pr_n) + {d} * (coalesce(c.s, 0) "
+            f"+ (SELECT dm FROM pr_d{i}) / (SELECT n FROM pr_n)) AS rank "
             f"FROM pr_nodes nn LEFT JOIN ("
             f"SELECT e.dst AS node, sum(r.rank / dg.deg) AS s "
-            f"FROM pr_edges e JOIN {prev} r ON e.src = r.node "
+            f"FROM pr_base e JOIN {prev} r ON e.src = r.node "
             f"JOIN pr_deg dg ON e.src = dg.src GROUP BY e.dst) c "
             f"ON nn.node = c.node)"
         )

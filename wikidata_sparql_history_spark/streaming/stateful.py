@@ -35,7 +35,7 @@ DELTA_SCHEMA = (
     "conv_id string, turn_idx long, kind string, "
     "subj string, pred string, obj string"
 )
-STATE_SCHEMA = "live array<string>"
+STATE_SCHEMA = "live array<string>, max_turn long"
 
 _SEP = "\x1f"
 
@@ -46,9 +46,22 @@ def _fact_state_fn(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     (conv_id,) = key
-    live: set[str] = set(state.get[0]) if state.exists else set()
+    if state.exists:
+        live, max_turn = set(state.get[0]), int(state.get[1])
+    else:
+        live, max_turn = set(), -1
     rows: list[tuple] = []
     batch = pd.concat(list(pdfs), ignore_index=True)
+    # stale-turn guard: a turn at or below the state's high-water mark
+    # arrived after its conversation already advanced (out-of-order
+    # micro-batch). Replaying it through the live-set diff would emit
+    # wrong deltas, so it is dropped and REPORTED — one kind='stale'
+    # row per dropped fact row keeps the count queryable downstream
+    # instead of a silent corruption.
+    stale = batch[batch["turn_idx"] <= max_turn]
+    for r in stale.itertuples(index=False):
+        rows.append((conv_id, int(r.turn_idx), "stale", r.subj, r.pred, r.obj))
+    batch = batch[batch["turn_idx"] > max_turn]
     for turn_idx, turn in batch.sort_values("turn_idx").groupby("turn_idx"):
         asserted = {
             _SEP.join(t)
@@ -59,7 +72,8 @@ def _fact_state_fn(
         for f in sorted(live - asserted):
             rows.append((conv_id, int(turn_idx), "del", *f.split(_SEP)))
         live = asserted
-    state.update((sorted(live),))
+        max_turn = int(turn_idx)
+    state.update((sorted(live), max_turn))
     yield pd.DataFrame(
         rows, columns=["conv_id", "turn_idx", "kind", "subj", "pred", "obj"]
     )

@@ -7,9 +7,10 @@ computable in closed form. The same formulas are emitted as DuckDB SQL
 (`transcripts_sql`) so the driver's oracle harness can rebuild the
 identical table and verify the whole KG pipeline end-to-end.
 
-Grammar embedded in ``text`` (FIXTURES.md mention grammar):
+Grammar embedded in ``text`` (FIXTURES.md mention grammar, extended
+round 3 with the statement-reification markers):
 
-    c<c> t<t> [[E<s>]] (<<P<j_i>>> [[E<k_i>]]) x m
+    c<c> t<t> [[E<s>]] (<<P<j_i>>>[!] [[E<k_i>]] [((P<qj_i>:E<qk_i>))] [{{S<r_i>}}]) x m
 
 with
     n_turns(c) = 3 + (c*7) % 18            -- 3..20 turns
@@ -19,6 +20,17 @@ with
     m(c,t)     = (c + t) % 4               -- 0..3 relation mentions
     j_i        = (c + t + i) % 7
     k_i        = (c*3 + t*5 + i*11) % 50
+    !          = preferred-rank marker, when (c + t*3 + i) % 5 == 0
+    qualifier ((P<qj>:E<qk>)) when (c + t + i) % 3 == 0,
+        qj_i = (c*2 + t + i) % 7, qk_i = (c + t*7 + i*13) % 50
+    reference {{S<r>}} when (c*5 + t + i) % 4 == 0,
+        r_i = (c + t + i*3) % 20
+
+The reification markers use delimiters disjoint from ``[[E]]``/``<<P>>``
+so the base extraction grammar (mentions/preds regexes) is unchanged;
+pipeline/reify.py parses the full segments (RdfBuilder.java:232-285
+analog: statement nodes + rank + pq: qualifiers + prov:wasDerivedFrom
+references).
 
 Generation is Spark-native (`spark.range` + built-in expressions — no
 driver-side loops, no Python UDFs) so it scales to bench sizes.
@@ -42,7 +54,27 @@ def _turn_cols():
     def seg(i: int):
         j = (c + t + F.lit(i)) % 7
         k = (c * 3 + t * 5 + F.lit(i) * 11) % 50
-        return F.concat(F.lit(" <<P"), j, F.lit(">> [[E"), k, F.lit("]]"))
+        # reification markers (RdfBuilder.java:232-285 analogs): rank,
+        # pq: qualifier, prov:wasDerivedFrom reference — delimiters are
+        # disjoint from [[E]]/<<P>> so base extraction is unchanged
+        rank = F.when((c + t * 3 + F.lit(i)) % 5 == 0, F.lit("!")).otherwise(
+            F.lit("")
+        )
+        qj = (c * 2 + t + F.lit(i)) % 7
+        qk = (c + t * 7 + F.lit(i) * 13) % 50
+        qual = F.when(
+            (c + t + F.lit(i)) % 3 == 0,
+            F.concat(F.lit(" ((P"), qj, F.lit(":E"), qk, F.lit("))")),
+        ).otherwise(F.lit(""))
+        rk = (c + t + F.lit(i) * 3) % 20
+        ref = F.when(
+            (c * 5 + t + F.lit(i)) % 4 == 0,
+            F.concat(F.lit(" {{S"), rk, F.lit("}}")),
+        ).otherwise(F.lit(""))
+        return F.concat(
+            F.lit(" <<P"), j, F.lit(">>"), rank,
+            F.lit(" [[E"), k, F.lit("]]"), qual, ref,
+        )
 
     # every turn asserts the persistent self-typing fact (E_s, P0, E_s)
     # so long coalescing islands exist at scale ([first_turn, MAX))
@@ -160,10 +192,26 @@ def transcripts_from_events(events: DataFrame) -> DataFrame:
     )
 
 
+def _seg_sql(i: int) -> str:
+    """DuckDB twin of `_turn_cols().seg(i)` — must stay formula-identical
+    to the Spark expressions (both engines rebuild the same text)."""
+    return (
+        f"CASE WHEN m >= {i} THEN ' <<P' || ((c+t+{i}) % 7) || '>>'"
+        f" || CASE WHEN (c + t*3 + {i}) % 5 = 0 THEN '!' ELSE '' END"
+        f" || ' [[E' || ((c*3+t*5+{i * 11}) % 50) || ']]'"
+        f" || CASE WHEN (c+t+{i}) % 3 = 0 THEN"
+        f" ' ((P' || ((c*2+t+{i}) % 7) || ':E' || ((c+t*7+{i * 13}) % 50) || '))'"
+        f" ELSE '' END"
+        f" || CASE WHEN (c*5+t+{i}) % 4 = 0 THEN"
+        f" ' {{{{S' || ((c+t+{i * 3}) % 20) || '}}}}' ELSE '' END"
+        " ELSE '' END"
+    )
+
+
 def transcripts_from_events_sql() -> str:
     """DuckDB twin of `transcripts_from_events` over the pre-registered
     `events` view."""
-    return """
+    return f"""
 WITH ev AS (
   SELECT user_id AS c,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS t,
@@ -182,9 +230,9 @@ SELECT
   event_type AS role,
   'c' || c || ' t' || t || ' [[E' || s || ']]'
     || ' <<P0>> [[E' || s || ']]'
-    || CASE WHEN m >= 1 THEN ' <<P' || ((c+t+1) % 7) || '>> [[E' || ((c*3+t*5+11) % 50) || ']]' ELSE '' END
-    || CASE WHEN m >= 2 THEN ' <<P' || ((c+t+2) % 7) || '>> [[E' || ((c*3+t*5+22) % 50) || ']]' ELSE '' END
-    || CASE WHEN m >= 3 THEN ' <<P' || ((c+t+3) % 7) || '>> [[E' || ((c*3+t*5+33) % 50) || ']]' ELSE '' END
+    || {_seg_sql(1)}
+    || {_seg_sql(2)}
+    || {_seg_sql(3)}
     AS text,
   '' AS tool,
   ts
@@ -214,9 +262,9 @@ SELECT
   (ARRAY['user','assistant','tool'])[CAST(t % 3 AS INTEGER) + 1] AS role,
   'c' || c || ' t' || t || ' [[E' || s || ']]'
     || ' <<P0>> [[E' || s || ']]'
-    || CASE WHEN m >= 1 THEN ' <<P' || ((c+t+1) % 7) || '>> [[E' || ((c*3+t*5+11) % 50) || ']]' ELSE '' END
-    || CASE WHEN m >= 2 THEN ' <<P' || ((c+t+2) % 7) || '>> [[E' || ((c*3+t*5+22) % 50) || ']]' ELSE '' END
-    || CASE WHEN m >= 3 THEN ' <<P' || ((c+t+3) % 7) || '>> [[E' || ((c*3+t*5+33) % 50) || ']]' ELSE '' END
+    || {_seg_sql(1)}
+    || {_seg_sql(2)}
+    || {_seg_sql(3)}
     AS text,
   CASE WHEN t % 3 = 2 THEN 'tool_' || ((c+t) % 5) ELSE '' END AS tool,
   TIMESTAMP '2024-01-01 00:00:00' + INTERVAL ((c % 3650)*86400 + t*60) SECOND AS ts
