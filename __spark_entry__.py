@@ -89,6 +89,7 @@ def _kg_linked(spark, sf_dir, salted: bool = False, driver_threshold: int | None
 # by CPython after GC and would hand a new session dead cached blocks.
 _RANGES_CACHE: dict[tuple, DataFrame] = {}
 _DICT_CACHE: dict[tuple, DataFrame] = {}
+_REIFIED_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _session_key(spark, sf_dir):
@@ -212,7 +213,7 @@ def _reify_sql_tail() -> str:
     BestRankFilter window."""
     seg_re = (
         r"(<<P\d+>>!? \[\[E\d+\]\]"
-        r"(?: \(\(P\d+:E\d+\)\))?"
+        r"(?: \(\(P\d+:[^)]+\)\))?"
         r"(?: \{\{S\d+\}\})?)"
     )
     return f"""
@@ -228,8 +229,8 @@ rparse AS (
          regexp_extract(seg, '<<(P\\d+)>>', 1) AS pred,
          CASE WHEN seg LIKE '%>>!%' THEN 'preferred' ELSE 'normal' END AS stmt_rank,
          regexp_extract(seg, '\\[\\[(E\\d+)\\]\\]', 1) AS obj,
-         regexp_extract(seg, '\\(\\((P\\d+):E\\d+\\)\\)', 1) AS qual_pred,
-         regexp_extract(seg, '\\(\\(P\\d+:(E\\d+)\\)\\)', 1) AS qual_obj,
+         regexp_extract(seg, '\\(\\((P\\d+):[^)]+\\)\\)', 1) AS qual_pred,
+         regexp_extract(seg, '\\(\\(P\\d+:([^)]+)\\)\\)', 1) AS qual_obj,
          regexp_extract(seg, '\\{{\\{{(S\\d+)\\}}\\}}', 1) AS ref_src
   FROM rseg
 ),
@@ -384,11 +385,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- statement reification layer (RdfBuilder.java:232-285) ---
     def _reified(spark, sf):
-        return reify.reify_statements(
-            _kg_transcripts(spark, sf),
-            synth.candidate_dict(spark),
-            synth.alias_edges(spark),
-        )
+        # four contract queries project this one table; persist per
+        # (session, sf) like the ranges cache — first caller pays the
+        # parse+link pass, the rest reuse the blocks
+        key = _session_key(spark, sf)
+        cached = _REIFIED_CACHE.get(key)
+        if cached is None:
+            cached = reify.reify_statements(
+                _kg_transcripts(spark, sf),
+                synth.candidate_dict(spark),
+                synth.alias_edges(spark),
+            ).persist()
+            _REIFIED_CACHE[key] = cached
+        return cached
 
     q["kg_statements_reified"] = lambda spark, sf: reify.statement_nodes(
         _reified(spark, sf)
@@ -398,6 +407,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["kg_statement_references"] = lambda spark, sf: reify.statement_references(
         _reified(spark, sf)
+    )
+
+    # best-rank statements emitted ALSO as direct triples — the wdt:
+    # truthy emission (RdfBuilder.java:232-266: "best-rank also as
+    # direct wdt:"); distinct because several statement occurrences of
+    # one claim collapse to one direct triple
+    q["kg_statements_best_direct"] = lambda spark, sf: (
+        reify.statement_nodes(_reified(spark, sf))
+        .filter(F.col("best_rank") == 1)
+        .select("conv_id", "subj", "pred", "obj")
+        .distinct()
     )
 
     def metadata_union(spark, sf):
@@ -1276,13 +1296,28 @@ def oracle_sql() -> dict[str, str]:
              FROM (SELECT DISTINCT conv_id, turn_idx, stmt_id, subj, pred,
                           obj, stmt_rank FROM rhash)""",
         "kg_statement_qualifiers": kgr
-        + "SELECT DISTINCT stmt_id, qual_pred, qual_obj FROM rhash "
-        + "WHERE qual_pred <> ''",
+        + """SELECT DISTINCT stmt_id, qual_pred,
+                    CASE WHEN qual_obj = '?'
+                         THEN '_:' || substr(sha256(stmt_id || chr(31) || qual_pred), 1, 16)
+                         WHEN qual_obj = '!' THEN 'wdno:' || qual_pred
+                         ELSE qual_obj END AS qual_obj,
+                    CASE WHEN qual_obj = '?' THEN 'somevalue'
+                         WHEN qual_obj = '!' THEN 'novalue'
+                         ELSE 'value' END AS snak_type
+             FROM rhash WHERE qual_pred <> ''""",
         "kg_statement_references": kgr
         + """SELECT DISTINCT stmt_id,
                     substr(sha256('ref' || chr(31) || ref_src), 1, 16) AS ref_id,
                     ref_src
              FROM rhash WHERE ref_src <> ''""",
+        "kg_statements_best_direct": kgr
+        + """SELECT DISTINCT conv_id, subj, pred, obj FROM (
+               SELECT conv_id, subj, pred, obj, stmt_rank,
+                      max(CASE WHEN stmt_rank = 'preferred' THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY conv_id, subj, pred) AS has_pref
+               FROM (SELECT DISTINCT conv_id, turn_idx, stmt_id, subj, pred,
+                            obj, stmt_rank FROM rhash)
+             ) WHERE has_pref = 0 OR stmt_rank = 'preferred'""",
         "kg_ranges": kg
         + "SELECT conv_id, subj, pred, obj, range_start, range_end FROM ranges",
         "kg_ranges_pandas": kg

@@ -208,6 +208,12 @@ def bench_mode() -> None:
                 for df in entry._RANGES_CACHE.values():
                     df.unpersist()
                 entry._RANGES_CACHE.clear()
+            if name == "kg_statements_reified":
+                # same honesty rule: each rep pays the full parse+link
+                # pass instead of reading its own persisted blocks
+                for df in entry._REIFIED_CACHE.values():
+                    df.unpersist()
+                entry._REIFIED_CACHE.clear()
             t0 = time.monotonic()
             n = qs[name](spark, sf_dir).count()
             dt = time.monotonic() - t0

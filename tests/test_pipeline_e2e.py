@@ -76,6 +76,18 @@ def test_pipeline_end_to_end(spark, tmp_path):
     # metrics sink exists with per-partition lineage
     assert os.path.exists(os.path.join(out, "metrics.json"))
 
+    # reification layer materialized (candidates+aliases provided):
+    # statements agree with the per-turn linked facts
+    assert {"statements", "statement_qualifiers", "statement_references"} <= set(
+        res.stages_run
+    )
+    stmts = res.table(spark, "statements")
+    got_stmt = {
+        (r.conv_id, r.turn_idx, r.subj, r.pred, r.obj)
+        for r in stmts.select("conv_id", "turn_idx", "subj", "pred", "obj").collect()
+    }
+    assert got_stmt == exp
+
 
 def test_resume_skips_completed_stages(spark, tmp_path):
     out = str(tmp_path / "kg2")

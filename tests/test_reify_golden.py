@@ -24,6 +24,9 @@ TEXTS = {
     "c3": "[[E1]] <<P2>> [[E3]] <<P2>> [[E8]]",
     # qualifier object is itself linkable+canonicalizable (E30 → Q30 → Q5)
     "c4": "[[E1]] <<P2>> [[E3]] ((P4:E30))",
+    # snak trichotomy (RdfBuilder.java:273-285)
+    "c5": "[[E1]] <<P2>> [[E3]] ((P4:?))",   # SomeValueSnak → skolem bnode
+    "c6": "[[E1]] <<P2>> [[E3]] ((P4:!))",   # NoValueSnak → wdno: marker
 }
 
 
@@ -65,17 +68,23 @@ def test_reify_golden(spark):
         ("c3", 1, _sid("c3", 1, "Q1", "P2", "Q3"), "Q1", "P2", "Q3", "normal", 1),
         ("c3", 1, _sid("c3", 1, "Q1", "P2", "Q8"), "Q1", "P2", "Q8", "normal", 1),
         ("c4", 1, _sid("c4", 1, "Q1", "P2", "Q3"), "Q1", "P2", "Q3", "normal", 1),
+        ("c5", 1, _sid("c5", 1, "Q1", "P2", "Q3"), "Q1", "P2", "Q3", "normal", 1),
+        ("c6", 1, _sid("c6", 1, "Q1", "P2", "Q3"), "Q1", "P2", "Q3", "normal", 1),
     }
     assert nodes == expected_nodes
 
     quals = {
-        (x.stmt_id, x.qual_pred, x.qual_obj)
+        (x.stmt_id, x.qual_pred, x.qual_obj, x.snak_type)
         for x in reify.statement_qualifiers(r).collect()
     }
+    sid5 = _sid("c5", 1, "Q1", "P2", "Q3")
+    bnode5 = "_:" + hashlib.sha256(f"{sid5}\x1fP4".encode()).hexdigest()[:16]
     # c4's qualifier object E30 links to Q30, which canonicalizes to Q5
     expected_quals = {
-        (_sid("c1", 1, "Q1", "P2", "Q3"), "P4", "Q5"),
-        (_sid("c4", 1, "Q1", "P2", "Q3"), "P4", "Q5"),
+        (_sid("c1", 1, "Q1", "P2", "Q3"), "P4", "Q5", "value"),
+        (_sid("c4", 1, "Q1", "P2", "Q3"), "P4", "Q5", "value"),
+        (sid5, "P4", bnode5, "somevalue"),
+        (_sid("c6", 1, "Q1", "P2", "Q3"), "P4", "wdno:P4", "novalue"),
     }
     assert quals == expected_quals
 

@@ -10,6 +10,9 @@ Stages (each an idempotent table write; resume skips completed ones):
   4. ranges     — coalesced validity ranges (coalesce.coalesce_ranges)
   5. triples    — packed array-form triples table
   6. adjacency  — subj → [(pred, obj)]
+  7. statements / statement_qualifiers / statement_references —
+     the reification layer (pipeline/reify.py; only when candidates
+     AND aliases are provided, since its terms are linked)
 
 Per-partition lineage + metrics land in metrics.json next to the
 tables (north rule: "per-partition lineage and metrics sinks").
@@ -115,6 +118,30 @@ def run_pipeline(
     from ..plans import views
 
     stage("adjacency", lambda: views.adjacency(ranges), sort_by=["subj"])
+
+    if candidates is not None and aliases is not None:
+        from . import reify
+
+        # the reified occurrence table feeds all three statement
+        # outputs; compute it once per run (lazy plan, each stage's
+        # write triggers it — the parse is extraction-shaped and cheap
+        # relative to a redundant coalesce pass)
+        occurrences = reify.reify_statements(bucketed, candidates, aliases)
+        stage(
+            "statements",
+            lambda: reify.statement_nodes(occurrences),
+            sort_by=["subj", "pred", "obj"],
+        )
+        stage(
+            "statement_qualifiers",
+            lambda: reify.statement_qualifiers(occurrences),
+            sort_by=["stmt_id"],
+        )
+        stage(
+            "statement_references",
+            lambda: reify.statement_references(occurrences),
+            sort_by=["stmt_id"],
+        )
 
     _write_metrics(spark, res, transcripts_count=None)
     return res

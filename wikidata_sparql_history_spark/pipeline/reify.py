@@ -8,7 +8,10 @@ prov:wasDerivedFrom pointing at a content-hashed reference node with
 pr: snaks (:261-265; snak trichotomy :273-285). The Spark analog over
 the FIXTURES mention grammar's reified segments:
 
-    <<P<j>>>[!] [[E<k>]] [((P<qj>:E<qk>))] [{{S<r>}}]
+    <<P<j>>>[!] [[E<k>]] [((P<qj>:E<qk>|?|!))] [{{S<r>}}]
+
+(the qualifier inner form carries the snak trichotomy: an entity =
+ValueSnak, '?' = SomeValueSnak, '!' = NoValueSnak.)
 
 - ``stmt_id``: sha256/16 of (conv_id, turn_idx, subj, pred, obj) — a
   deterministic stand-in for the reference's statement GUID (not
@@ -41,7 +44,7 @@ from . import canonicalize, linking
 # plain segments (and the P0 self-typing fact) parse too
 SEG_RE = (
     r"(<<P\d+>>!? \[\[E\d+\]\]"
-    r"(?: \(\(P\d+:E\d+\)\))?"
+    r"(?: \(\(P\d+:[^)]+\)\))?"
     r"(?: \{\{S\d+\}\})?)"
 )
 
@@ -70,8 +73,8 @@ def reified_segments(transcripts: DataFrame) -> DataFrame:
         .otherwise(F.lit("normal"))
         .alias("stmt_rank"),
         F.regexp_extract(seg, r"\[\[(E\d+)\]\]", 1).alias("obj"),
-        F.regexp_extract(seg, r"\(\((P\d+):E\d+\)\)", 1).alias("qual_pred"),
-        F.regexp_extract(seg, r"\(\(P\d+:(E\d+)\)\)", 1).alias("qual_obj"),
+        F.regexp_extract(seg, r"\(\((P\d+):[^)]+\)\)", 1).alias("qual_pred"),
+        F.regexp_extract(seg, r"\(\(P\d+:([^)]+)\)\)", 1).alias("qual_obj"),
         F.regexp_extract(seg, r"\{\{(S\d+)\}\}", 1).alias("ref_src"),
     )
 
@@ -144,11 +147,39 @@ def statement_nodes(reified: DataFrame) -> DataFrame:
 
 
 def statement_qualifiers(reified: DataFrame) -> DataFrame:
-    """(stmt_id, qual_pred, qual_obj): pq: snak rows
-    (RdfBuilder.java:258-260)."""
+    """(stmt_id, qual_pred, qual_obj, snak_type): pq: snak rows with
+    the full snak trichotomy (RdfBuilder.java:258-260, :273-285):
+
+    - ValueSnak  — grammar ``((P:E))`` → linked entity object
+    - SomeValueSnak — ``((P:?))`` → deterministic content-hashed bnode
+      (the reference hashes the snak into a skolem bnode id)
+    - NoValueSnak — ``((P:!))`` → ``wdno:P`` class marker (the
+      reference emits ``rdf:type wdno:P``)
+    """
+    q = reified.filter(F.col("qual_pred") != "")
+    snak_type = (
+        F.when(F.col("qual_obj") == "?", F.lit("somevalue"))
+        .when(F.col("qual_obj") == "!", F.lit("novalue"))
+        .otherwise(F.lit("value"))
+    )
+    bnode = F.concat(
+        F.lit("_:"),
+        F.substring(
+            F.sha2(F.concat_ws(_SEP, "stmt_id", "qual_pred"), 256), 1, 16
+        ),
+    )
+    obj = (
+        F.when(F.col("qual_obj") == "?", bnode)
+        .when(F.col("qual_obj") == "!", F.concat(F.lit("wdno:"), "qual_pred"))
+        .otherwise(F.col("qual_obj"))
+    )
     return (
-        reified.filter(F.col("qual_pred") != "")
-        .select("stmt_id", "qual_pred", "qual_obj")
+        q.select(
+            "stmt_id",
+            "qual_pred",
+            obj.alias("qual_obj"),
+            snak_type.alias("snak_type"),
+        )
         .distinct()
     )
 

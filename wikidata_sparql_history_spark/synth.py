@@ -10,7 +10,7 @@ identical table and verify the whole KG pipeline end-to-end.
 Grammar embedded in ``text`` (FIXTURES.md mention grammar, extended
 round 3 with the statement-reification markers):
 
-    c<c> t<t> [[E<s>]] (<<P<j_i>>>[!] [[E<k_i>]] [((P<qj_i>:E<qk_i>))] [{{S<r_i>}}]) x m
+    c<c> t<t> [[E<s>]] (<<P<j_i>>>[!] [[E<k_i>]] [((P<qj_i>:E<qk_i>|?|!))] [{{S<r_i>}}]) x m
 
 with
     n_turns(c) = 3 + (c*7) % 18            -- 3..20 turns
@@ -21,8 +21,11 @@ with
     j_i        = (c + t + i) % 7
     k_i        = (c*3 + t*5 + i*11) % 50
     !          = preferred-rank marker, when (c + t*3 + i) % 5 == 0
-    qualifier ((P<qj>:E<qk>)) when (c + t + i) % 3 == 0,
-        qj_i = (c*2 + t + i) % 7, qk_i = (c + t*7 + i*13) % 50
+    qualifier ((P<qj>:<inner>)) when (c + t + i) % 3 == 0,
+        qj_i = (c*2 + t + i) % 7; inner carries the snak trichotomy
+        on tri = (c + 2t + 5i) % 6: tri<=3 → E<qk> (ValueSnak) with
+        qk_i = (c + t*7 + i*13) % 50, tri=4 → '?' (SomeValueSnak),
+        tri=5 → '!' (NoValueSnak)
     reference {{S<r>}} when (c*5 + t + i) % 4 == 0,
         r_i = (c + t + i*3) % 20
 
@@ -62,9 +65,17 @@ def _turn_cols():
         )
         qj = (c * 2 + t + F.lit(i)) % 7
         qk = (c + t * 7 + F.lit(i) * 13) % 50
+        # snak trichotomy (RdfBuilder.java:273-285): value snak E<qk>,
+        # SomeValueSnak '?', NoValueSnak '!'
+        tri = (c + 2 * t + 5 * F.lit(i)) % 6
+        inner = (
+            F.when(tri <= 3, F.concat(F.lit("E"), qk))
+            .when(tri == 4, F.lit("?"))
+            .otherwise(F.lit("!"))
+        )
         qual = F.when(
             (c + t + F.lit(i)) % 3 == 0,
-            F.concat(F.lit(" ((P"), qj, F.lit(":E"), qk, F.lit("))")),
+            F.concat(F.lit(" ((P"), qj, F.lit(":"), inner, F.lit("))")),
         ).otherwise(F.lit(""))
         rk = (c + t + F.lit(i) * 3) % 20
         ref = F.when(
@@ -200,8 +211,11 @@ def _seg_sql(i: int) -> str:
         f" || CASE WHEN (c + t*3 + {i}) % 5 = 0 THEN '!' ELSE '' END"
         f" || ' [[E' || ((c*3+t*5+{i * 11}) % 50) || ']]'"
         f" || CASE WHEN (c+t+{i}) % 3 = 0 THEN"
-        f" ' ((P' || ((c*2+t+{i}) % 7) || ':E' || ((c+t*7+{i * 13}) % 50) || '))'"
-        f" ELSE '' END"
+        f" ' ((P' || ((c*2+t+{i}) % 7) || ':' ||"
+        f" CASE WHEN (c + 2*t + {5 * i}) % 6 <= 3"
+        f" THEN 'E' || ((c+t*7+{i * 13}) % 50)"
+        f" WHEN (c + 2*t + {5 * i}) % 6 = 4 THEN '?' ELSE '!' END"
+        f" || '))' ELSE '' END"
         f" || CASE WHEN (c*5+t+{i}) % 4 = 0 THEN"
         f" ' {{{{S' || ((c+t+{i * 3}) % 20) || '}}}}' ELSE '' END"
         " ELSE '' END"
