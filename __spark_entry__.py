@@ -490,6 +490,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_path_algebra"] = kg_path_algebra
 
+    def kg_path_zero_or_one(spark, sf):
+        # SPARQL ZeroOrOnePath p? over one predicate's edge set
+        e = _kg_ranges(spark, sf)
+        p1 = (
+            e.filter(F.col("pred") == "P1")
+            .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+            .distinct()
+        )
+        return paths.zero_or_one(p1)
+
+    q["kg_path_zero_or_one"] = kg_path_zero_or_one
+
+    def kg_negated_pred_set(spark, sf):
+        # SPARQL negated property set !(P0|P1) — IN-list filter pushed
+        # to the scan, never a join
+        return paths.negated_property_set(
+            _kg_ranges(spark, sf), ["P0", "P1"]
+        )
+
+    q["kg_negated_pred_set"] = kg_negated_pred_set
+
     def kg_pagerank(spark, sf):
         # graph-analytics materialization over the canonical entity
         # graph: 10 power iterations, damping .85 (simplified dangling
@@ -1450,6 +1471,17 @@ def oracle_sql() -> dict[str, str]:
            )
            SELECT DISTINCT src, dst FROM
              (SELECT * FROM pseq UNION SELECT * FROM preach)""",
+        "kg_path_zero_or_one": kg
+        + """, p1e AS (SELECT DISTINCT subj AS src, obj AS dst FROM ranges
+                       WHERE pred = 'P1'),
+           p1n AS (SELECT DISTINCT node FROM (
+             SELECT src AS node FROM p1e UNION ALL SELECT dst FROM p1e))
+           SELECT DISTINCT src, dst FROM (
+             SELECT node AS src, node AS dst FROM p1n
+             UNION ALL SELECT src, dst FROM p1e)""",
+        "kg_negated_pred_set": kg
+        + """SELECT DISTINCT subj AS src, pred, obj AS dst FROM ranges
+             WHERE pred NOT IN ('P0', 'P1')""",
         "kg_pagerank": kg
         + ", pr_edges AS (SELECT DISTINCT subj AS src, obj AS dst FROM ranges), "
         + paths.pagerank_sql_tail(iterations=10, damping=0.85),

@@ -101,3 +101,21 @@ def test_zero_or_more(spark):
         ).collect()
     }
     assert seeded == {("a", "a"), ("a", "b"), ("a", "c")}
+
+
+def test_zero_or_one(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c")])
+    got = {tuple(r) for r in paths.zero_or_one(e).collect()}
+    assert got == {
+        ("a", "a"), ("b", "b"), ("c", "c"),
+        ("a", "b"), ("b", "c"),
+    }
+
+
+def test_negated_property_set(spark):
+    t = spark.createDataFrame(
+        [("a", "P0", "b"), ("a", "P1", "c"), ("a", "P2", "d")],
+        "subj string, pred string, obj string",
+    )
+    got = {tuple(r) for r in paths.negated_property_set(t, ["P0", "P1"]).collect()}
+    assert got == {("a", "P2", "d")}

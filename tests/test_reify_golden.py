@@ -93,3 +93,35 @@ def test_reify_golden(spark):
         for x in reify.statement_references(r).collect()
     }
     assert refs == {(_sid("c1", 1, "Q1", "P2", "Q3"), _rid("S6"), "S6")}
+
+
+def test_statement_nodes_single_exchange(spark):
+    """statement_nodes must add exactly ONE hash exchange: the explicit
+    (conv_id, subj, pred) repartition serves the 7-column distinct
+    (subset rule) AND the BestRank window — plan-asserted so a
+    refactor can't silently reintroduce a second shuffle."""
+    rows = [
+        ("c0", 1, "user", "[[E1]] <<P2>> [[E3]] <<P2>>! [[E8]]", "", TS),
+        ("c1", 1, "user", "[[E2]] <<P3>> [[E4]]", "", TS),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    r = reify.reify_statements(
+        df, synth.candidate_dict(spark), synth.alias_edges(spark)
+    )
+    plan = (
+        reify.statement_nodes(r)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # exactly ONE exchange on the fact path (keyed by conv_id, the
+    # explicit repartition); the remaining hash exchanges sit inside
+    # the broadcast entity-map dimension subtree (mention/entity_id
+    # keys, metadata-sized) and never touch the statement stream
+    n_fact_exchanges = plan.count("Exchange hashpartitioning(conv_id")
+    assert n_fact_exchanges == 1, plan[:4000]
+    assert "Exchange SinglePartition" not in plan, plan[:4000]

@@ -131,10 +131,20 @@ def reify_statements(
 def statement_nodes(reified: DataFrame) -> DataFrame:
     """(conv_id, turn_idx, stmt_id, subj, pred, obj, stmt_rank,
     best_rank): the statement-node table with BestRankFilter semantics
-    (best_rank as 0/1 int for engine-stable hashing)."""
-    nodes = reified.select(
-        "conv_id", "turn_idx", "stmt_id", "subj", "pred", "obj", "stmt_rank"
-    ).distinct()
+    (best_rank as 0/1 int for engine-stable hashing).
+
+    ONE exchange: the explicit repartition on (conv_id, subj, pred)
+    satisfies BOTH the distinct (its keys are a superset — equal rows
+    hash equal on the subset, Spark's subset rule) and the BestRank
+    window (exact key match), so neither adds a shuffle
+    (tests/test_reify_golden.py::test_statement_nodes_single_exchange)."""
+    nodes = (
+        reified.select(
+            "conv_id", "turn_idx", "stmt_id", "subj", "pred", "obj", "stmt_rank"
+        )
+        .repartition("conv_id", "subj", "pred")
+        .distinct()
+    )
     w = Window.partitionBy("conv_id", "subj", "pred")
     has_pref = F.max(
         F.when(F.col("stmt_rank") == "preferred", 1).otherwise(0)

@@ -98,6 +98,34 @@ def alt_path(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.select("src", "dst").unionByName(b.select("src", "dst")).distinct()
 
 
+def zero_or_one(edges: DataFrame, nodes: DataFrame | None = None) -> DataFrame:
+    """``p?`` — the edges plus the zero-length identity over the node
+    universe (SPARQL ZeroOrOnePath; same identity convention as
+    `zero_or_more`)."""
+    if nodes is None:
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .unionByName(edges.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+    identity = nodes.select(
+        F.col("node").alias("src"), F.col("node").alias("dst")
+    )
+    return identity.unionByName(edges.select("src", "dst")).distinct()
+
+
+def negated_property_set(triples: DataFrame, preds: list[str]) -> DataFrame:
+    """``!(p1|p2|...)`` — edges whose predicate is NOT in the set
+    (SPARQL negated property set; the reference evaluates it as a
+    predicate-filtered scan, which Catalyst pushes into the source —
+    an IN-list filter, never a join)."""
+    return (
+        triples.filter(~F.col("pred").isin(preds))
+        .select(F.col("subj").alias("src"), "pred", F.col("obj").alias("dst"))
+        .distinct()
+    )
+
+
 def zero_or_more(
     edges: DataFrame,
     nodes: DataFrame | None = None,
