@@ -409,6 +409,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _reified(spark, sf)
     )
 
+    q["kg_statement_value_nodes"] = lambda spark, sf: reify.statement_value_nodes(
+        _reified(spark, sf)
+    )
+
     # best-rank statements emitted ALSO as direct triples — the wdt:
     # truthy emission (RdfBuilder.java:232-266: "best-rank also as
     # direct wdt:"); distinct because several statement occurrences of
@@ -1321,11 +1325,21 @@ def oracle_sql() -> dict[str, str]:
                     CASE WHEN qual_obj = '?'
                          THEN '_:' || substr(sha256(stmt_id || chr(31) || qual_pred), 1, 16)
                          WHEN qual_obj = '!' THEN 'wdno:' || qual_pred
+                         WHEN regexp_matches(qual_obj, '^V\\d+$')
+                         THEN '+' || substr(qual_obj, 2)
                          ELSE qual_obj END AS qual_obj,
                     CASE WHEN qual_obj = '?' THEN 'somevalue'
                          WHEN qual_obj = '!' THEN 'novalue'
                          ELSE 'value' END AS snak_type
              FROM rhash WHERE qual_pred <> ''""",
+        "kg_statement_value_nodes": kgr
+        + """SELECT DISTINCT stmt_id, qual_pred,
+                    'wdv:' || substr(sha256('quantity' || chr(31)
+                        || substr(qual_obj, 2) || chr(31) || '1'), 1, 16)
+                      AS val_id,
+                    CAST(substr(qual_obj, 2) AS BIGINT) AS amount,
+                    '1' AS unit
+             FROM rhash WHERE regexp_matches(qual_obj, '^V\\d+$')""",
         "kg_statement_references": kgr
         + """SELECT DISTINCT stmt_id,
                     substr(sha256('ref' || chr(31) || ref_src), 1, 16) AS ref_id,

@@ -27,6 +27,9 @@ TEXTS = {
     # snak trichotomy (RdfBuilder.java:273-285)
     "c5": "[[E1]] <<P2>> [[E3]] ((P4:?))",   # SomeValueSnak → skolem bnode
     "c6": "[[E1]] <<P2>> [[E3]] ((P4:!))",   # NoValueSnak → wdno: marker
+    # quantity value → pq: simple form + pqv:/wdv: hashed value node
+    # (RdfBuilder.java:377-425)
+    "c7": "[[E1]] <<P2>> [[E3]] ((P4:V42))",
 }
 
 
@@ -70,6 +73,7 @@ def test_reify_golden(spark):
         ("c4", 1, _sid("c4", 1, "Q1", "P2", "Q3"), "Q1", "P2", "Q3", "normal", 1),
         ("c5", 1, _sid("c5", 1, "Q1", "P2", "Q3"), "Q1", "P2", "Q3", "normal", 1),
         ("c6", 1, _sid("c6", 1, "Q1", "P2", "Q3"), "Q1", "P2", "Q3", "normal", 1),
+        ("c7", 1, _sid("c7", 1, "Q1", "P2", "Q3"), "Q1", "P2", "Q3", "normal", 1),
     }
     assert nodes == expected_nodes
 
@@ -85,8 +89,20 @@ def test_reify_golden(spark):
         (_sid("c4", 1, "Q1", "P2", "Q3"), "P4", "Q5", "value"),
         (sid5, "P4", bnode5, "somevalue"),
         (_sid("c6", 1, "Q1", "P2", "Q3"), "P4", "wdno:P4", "novalue"),
+        # quantity pq: simple form — signed amount lexical
+        (_sid("c7", 1, "Q1", "P2", "Q3"), "P4", "+42", "value"),
     }
     assert quals == expected_quals
+
+    # pqv:/wdv: full value node, content-hashed on (quantity, amount, unit)
+    vnodes = {
+        (x.stmt_id, x.qual_pred, x.val_id, x.amount, x.unit)
+        for x in reify.statement_value_nodes(r).collect()
+    }
+    vid = "wdv:" + hashlib.sha256("quantity\x1f42\x1f1".encode()).hexdigest()[:16]
+    assert vnodes == {
+        (_sid("c7", 1, "Q1", "P2", "Q3"), "P4", vid, 42, "1")
+    }
 
     refs = {
         (x.stmt_id, x.ref_id, x.ref_src)

@@ -165,8 +165,13 @@ def statement_qualifiers(reified: DataFrame) -> DataFrame:
       (the reference hashes the snak into a skolem bnode id)
     - NoValueSnak — ``((P:!))`` → ``wdno:P`` class marker (the
       reference emits ``rdf:type wdno:P``)
+    - quantity ValueSnak — ``((P:V<amt>))`` → the pq: SIMPLE form
+      (signed amount lexical, RdfBuilder.java:427-433 canonical
+      decimal); the pqv: full value node lives in
+      `statement_value_nodes`
     """
     q = reified.filter(F.col("qual_pred") != "")
+    is_qty = F.col("qual_obj").rlike(r"^V\d+$")
     snak_type = (
         F.when(F.col("qual_obj") == "?", F.lit("somevalue"))
         .when(F.col("qual_obj") == "!", F.lit("novalue"))
@@ -181,6 +186,7 @@ def statement_qualifiers(reified: DataFrame) -> DataFrame:
     obj = (
         F.when(F.col("qual_obj") == "?", bnode)
         .when(F.col("qual_obj") == "!", F.concat(F.lit("wdno:"), "qual_pred"))
+        .when(is_qty, F.concat(F.lit("+"), F.expr("substring(qual_obj, 2)")))
         .otherwise(F.col("qual_obj"))
     )
     return (
@@ -192,6 +198,34 @@ def statement_qualifiers(reified: DataFrame) -> DataFrame:
         )
         .distinct()
     )
+
+
+def statement_value_nodes(reified: DataFrame) -> DataFrame:
+    """(stmt_id, qual_pred, val_id, amount, unit): the pqv:/wdv:
+    complex-value emission (RdfBuilder.java:377-425): every quantity
+    snak gets a CONTENT-HASHED value node carrying its components
+    (amount + unit; unitless quantities use unit '1' like the
+    reference). Identical quantities share one node — exactly the
+    reference's value-node dedup-by-hash."""
+    qty = reified.filter(F.col("qual_obj").rlike(r"^V\d+$"))
+    amt_str = F.expr("substring(qual_obj, 2)")
+    val_id = F.concat(
+        F.lit("wdv:"),
+        F.substring(
+            F.sha2(
+                F.concat_ws(_SEP, F.lit("quantity"), amt_str, F.lit("1")), 256
+            ),
+            1,
+            16,
+        ),
+    )
+    return qty.select(
+        "stmt_id",
+        "qual_pred",
+        val_id.alias("val_id"),
+        amt_str.cast("long").alias("amount"),
+        F.lit("1").alias("unit"),
+    ).distinct()
 
 
 def statement_references(reified: DataFrame) -> DataFrame:

@@ -22,10 +22,11 @@ with
     k_i        = (c*3 + t*5 + i*11) % 50
     !          = preferred-rank marker, when (c + t*3 + i) % 5 == 0
     qualifier ((P<qj>:<inner>)) when (c + t + i) % 3 == 0,
-        qj_i = (c*2 + t + i) % 7; inner carries the snak trichotomy
-        on tri = (c + 2t + 5i) % 6: tri<=3 → E<qk> (ValueSnak) with
+        qj_i = (c*2 + t + i) % 7; inner carries the snak forms on
+        tri = (c + 2t + 5i) % 8: tri<=3 → E<qk> (ValueSnak) with
         qk_i = (c + t*7 + i*13) % 50, tri=4 → '?' (SomeValueSnak),
-        tri=5 → '!' (NoValueSnak)
+        tri=5 → '!' (NoValueSnak), tri>=6 → V<amt> (quantity value →
+        hashed wdv: node) with amt = (c*9 + t*4 + i*17) % 1000
     reference {{S<r>}} when (c*5 + t + i) % 4 == 0,
         r_i = (c + t + i*3) % 20
 
@@ -65,13 +66,16 @@ def _turn_cols():
         )
         qj = (c * 2 + t + F.lit(i)) % 7
         qk = (c + t * 7 + F.lit(i) * 13) % 50
-        # snak trichotomy (RdfBuilder.java:273-285): value snak E<qk>,
-        # SomeValueSnak '?', NoValueSnak '!'
-        tri = (c + 2 * t + 5 * F.lit(i)) % 6
+        # snak forms (RdfBuilder.java:273-285 trichotomy + :377-425
+        # complex values): entity value E<qk>, SomeValueSnak '?',
+        # NoValueSnak '!', quantity value V<amt> (→ hashed wdv: node)
+        tri = (c + 2 * t + 5 * F.lit(i)) % 8
+        amt = (c * 9 + t * 4 + F.lit(i) * 17) % 1000
         inner = (
             F.when(tri <= 3, F.concat(F.lit("E"), qk))
             .when(tri == 4, F.lit("?"))
-            .otherwise(F.lit("!"))
+            .when(tri == 5, F.lit("!"))
+            .otherwise(F.concat(F.lit("V"), amt))
         )
         qual = F.when(
             (c + t + F.lit(i)) % 3 == 0,
@@ -212,9 +216,11 @@ def _seg_sql(i: int) -> str:
         f" || ' [[E' || ((c*3+t*5+{i * 11}) % 50) || ']]'"
         f" || CASE WHEN (c+t+{i}) % 3 = 0 THEN"
         f" ' ((P' || ((c*2+t+{i}) % 7) || ':' ||"
-        f" CASE WHEN (c + 2*t + {5 * i}) % 6 <= 3"
+        f" CASE WHEN (c + 2*t + {5 * i}) % 8 <= 3"
         f" THEN 'E' || ((c+t*7+{i * 13}) % 50)"
-        f" WHEN (c + 2*t + {5 * i}) % 6 = 4 THEN '?' ELSE '!' END"
+        f" WHEN (c + 2*t + {5 * i}) % 8 = 4 THEN '?'"
+        f" WHEN (c + 2*t + {5 * i}) % 8 = 5 THEN '!'"
+        f" ELSE 'V' || ((c*9+t*4+{i * 17}) % 1000) END"
         f" || '))' ELSE '' END"
         f" || CASE WHEN (c*5+t+{i}) % 4 = 0 THEN"
         f" ' {{{{S' || ((c+t+{i * 3}) % 20) || '}}}}' ELSE '' END"
