@@ -413,6 +413,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _reified(spark, sf)
     )
 
+    def kg_tool_nodes(spark, sf):
+        # sitelink/article-node analog (RdfBuilder.java:296-317): a
+        # sitelink attaches an external artifact node to an entity with
+        # schema:about/name/isPartOf; here each tool invocation attaches
+        # a content-addressed artifact node to its turn, carrying the
+        # tool name (schema:name) and the invoking role (wiki-group
+        # analog). Pure projection + filter — pushed to the scan.
+        t = _kg_transcripts(spark, sf)
+        return t.filter(F.col("tool") != "").select(
+            "conv_id",
+            F.col("turn_idx").cast("long").alias("turn_idx"),
+            F.substring(
+                F.sha2(
+                    F.concat_ws(
+                        "\x1f", F.lit("tool"), "conv_id",
+                        F.col("turn_idx").cast("long"), "tool",
+                    ),
+                    256,
+                ),
+                1,
+                16,
+            ).alias("node_id"),
+            F.col("tool").alias("name"),
+            F.col("role").alias("grp"),
+        )
+
+    q["kg_tool_nodes"] = kg_tool_nodes
+
     # best-rank statements emitted ALSO as direct triples — the wdt:
     # truthy emission (RdfBuilder.java:232-266: "best-rank also as
     # direct wdt:"); distinct because several statement occurrences of
@@ -1332,6 +1360,14 @@ def oracle_sql() -> dict[str, str]:
                          WHEN qual_obj = '!' THEN 'novalue'
                          ELSE 'value' END AS snak_type
              FROM rhash WHERE qual_pred <> ''""",
+        "kg_tool_nodes": kg
+        + """SELECT conv_id, turn_idx,
+                    substr(sha256('tool' || chr(31) || conv_id || chr(31)
+                        || turn_idx || chr(31) || tool), 1, 16) AS node_id,
+                    tool AS name, role AS grp
+             FROM (SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                          role, tool FROM transcripts)
+             WHERE tool <> ''""",
         "kg_statement_value_nodes": kgr
         + """SELECT DISTINCT stmt_id, qual_pred,
                     'wdv:' || substr(sha256('quantity' || chr(31)

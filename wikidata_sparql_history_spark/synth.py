@@ -202,7 +202,7 @@ def transcripts_from_events(events: DataFrame) -> DataFrame:
         (F.lit(2) + 3 * F.col("t")).cast("int").alias("turn_idx"),
         F.col("event_type").alias("role"),
         cols["text"].alias("text"),
-        F.lit("").alias("tool"),
+        cols["tool"].alias("tool"),
         F.col("ts").alias("ts"),
     )
 
@@ -254,7 +254,7 @@ SELECT
     || {_seg_sql(2)}
     || {_seg_sql(3)}
     AS text,
-  '' AS tool,
+  CASE WHEN t % 3 = 2 THEN 'tool_' || ((c+t) % 5) ELSE '' END AS tool,
   ts
 FROM g
 """
