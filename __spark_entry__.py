@@ -1310,10 +1310,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ranges_pandas", "ann_lsh_recall",
         "kg_asof", "agg_rollup_events",
         "kg_latest_obj", "media_feature_stats",
-        "typed_values_roundtrip", "agg_pricing_summary",
+        "typed_values_roundtrip", "kg_tool_nodes",
         "kg_typed_dict_encode", "join_topk_revenue",
-        "kg_get_statements", "rdf_nt_roundtrip",
-        "kg_resume_ranges", "rdf_datetime_epoch",
+        "kg_get_statements", "kg_statements_best_direct",
+        "kg_resume_ranges", "kg_statement_value_nodes",
         "kg_stream_extract", "kg_encoded_filter",
     ]
     missing = [k for k in head if k not in q]
