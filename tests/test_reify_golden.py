@@ -141,3 +141,32 @@ def test_statement_nodes_single_exchange(spark):
     n_fact_exchanges = plan.count("Exchange hashpartitioning(conv_id")
     assert n_fact_exchanges == 1, plan[:4000]
     assert "Exchange SinglePartition" not in plan, plan[:4000]
+
+
+def test_statements_agree_with_extraction_on_synth_corpus(spark):
+    """Internal-consistency invariant: the statement layer parses
+    segments (pred+obj inside one segment) while base extraction pairs
+    positionally (i-th pred ↔ (i+1)-th mention) — over the synthetic
+    grammar these MUST yield the identical (conv, turn, s, p, o) set,
+    term-for-term after linking+canonicalization."""
+    from wikidata_sparql_history_spark.pipeline import canonicalize, linking
+    from wikidata_sparql_history_spark.pipeline.extract import (
+        extract_triples_builtin,
+    )
+
+    t = synth.transcripts(spark, 60, shuffled=False)
+    cand, ali = synth.candidate_dict(spark), synth.alias_edges(spark)
+    base = canonicalize.canonicalize_triples(
+        linking.link_mentions(extract_triples_builtin(t), cand), ali
+    )
+    base_set = {
+        (r.conv_id, r.turn_idx, r.subj, r.pred, r.obj)
+        for r in base.collect()
+    }
+    stmt = reify.statement_nodes(reify.reify_statements(t, cand, ali))
+    stmt_set = {
+        (r.conv_id, r.turn_idx, r.subj, r.pred, r.obj)
+        for r in stmt.collect()
+    }
+    assert stmt_set == base_set
+    assert len(stmt_set) > 1000
