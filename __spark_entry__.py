@@ -1127,6 +1127,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["quality_score"] = lambda spark, sf: text_ops.quality_score(
         _t(spark, sf, "documents")
     )
+    q["repetition_stats"] = lambda spark, sf: text_ops.repetition_stats(
+        _t(spark, sf, "documents")
+    )
     q["language_id"] = lambda spark, sf: text_ops.language_id(
         _t(spark, sf, "documents")
     )
@@ -1812,6 +1815,23 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN cnt c USING (doc_id)
             WHERE d.doc_id % 17 != 0""",
         "quality_score": _quality_sql(),
+        "repetition_stats": """
+            WITH w AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(ws) AS INTEGER) AS n_words,
+                   CASE WHEN len(ws) > 0 THEN
+                     round(1 - len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE), 4)
+                   ELSE 0.0 END AS dup_word_frac,
+                   CASE WHEN len(ws) > 1 THEN
+                     round(1 - len(list_distinct(
+                       list_transform(range(1, len(ws)),
+                                      i -> ws[i] || ' ' || ws[i + 1])))
+                       / CAST(len(ws) - 1 AS DOUBLE), 4)
+                   ELSE 0.0 END AS dup_bigram_frac
+            FROM w""",
         "language_id": _language_id_sql(),
         "fingerprint_docs": """
             SELECT doc_id,

@@ -293,3 +293,23 @@ def test_frame_sample_plan(spark):
     joined = plan.join(media.select("media_id", "meta"), "media_id")
     bad = joined.filter(F.col("offset_ms") > F.col("meta.duration_ms") + 1000)
     assert bad.isEmpty()
+
+
+def test_repetition_stats_planted(spark):
+    """Gopher-style repetition signals on planted texts: a degenerate
+    repeat → fractions 1.0; an all-distinct text → 0.0."""
+    from wikidata_sparql_history_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "x x x x x"),          # 5 words, 1 distinct; 4 bigrams, 1 distinct
+            (2, "a b c d e"),          # all distinct
+            (3, "a b a b a"),          # words: 5/2 distinct; bigrams: 4, 2 distinct
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_words, r.dup_word_frac, r.dup_bigram_frac)
+           for r in repetition_stats(df).collect()}
+    assert got[1] == (5, 0.8, 0.75)
+    assert got[2] == (5, 0.0, 0.0)
+    assert got[3] == (5, 0.6, 0.5)

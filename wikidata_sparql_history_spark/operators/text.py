@@ -161,3 +161,38 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     text (identical in DuckDB, so oracle-comparable)."""
     norm = F.regexp_replace(F.lower("text"), r"[^a-z0-9 ]", "")
     return docs.select("doc_id", F.md5(norm).alias("fp"))
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_words, dup_word_frac, dup_bigram_frac): Gopher-style
+    repetition signals (Rae et al. 2021 §A1.1): the fraction of
+    duplicate unigrams / bigrams in a document — high values flag
+    boilerplate and degenerate repetition for pretraining filters.
+
+    Duplicate fraction = 1 − distinct/total, entirely array built-ins
+    (split → array_distinct → size); bigrams via a transform HOF over
+    index positions — per-doc arrays are tiny, so the lambda's
+    element_at re-inlining (the round-2 O(len²) hazard on corpus-wide
+    arrays) is irrelevant here."""
+    ws = F.split(F.trim("text"), r"\s+")
+    out = docs.select("doc_id", ws.alias("ws"))
+    n = F.size("ws")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at("ws", i), F.element_at("ws", i + 1)
+        ),
+    )
+    out = out.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.when(n > 0,
+               F.round(1 - F.size(F.array_distinct("ws")) / n.cast("double"), 4)
+               ).otherwise(F.lit(0.0)).alias("dup_word_frac"),
+        F.when(n > 1,
+               F.round(
+                   1 - F.size(F.array_distinct(bigrams))
+                   / (n - 1).cast("double"), 4)
+               ).otherwise(F.lit(0.0)).alias("dup_bigram_frac"),
+    )
+    return out
