@@ -27,9 +27,12 @@ TEXTS = {
     # snak trichotomy (RdfBuilder.java:273-285)
     "c5": "[[E1]] <<P2>> [[E3]] ((P4:?))",   # SomeValueSnak → skolem bnode
     "c6": "[[E1]] <<P2>> [[E3]] ((P4:!))",   # NoValueSnak → wdno: marker
-    # quantity value → pq: simple form + pqv:/wdv: hashed value node
-    # (RdfBuilder.java:377-425)
+    # complex values → pq: simple form + pqv:/wdv: hashed value node
+    # with component triples (RdfBuilder.java:377-425): quantity /
+    # time / globe coordinate
     "c7": "[[E1]] <<P2>> [[E3]] ((P4:V42))",
+    "c8": "[[E1]] <<P2>> [[E3]] ((P4:T10))",   # 2024-01-01 + 10 days
+    "c9": "[[E1]] <<P2>> [[E3]] ((P4:C200))",  # lat -70, lon 140
 }
 
 
@@ -74,6 +77,8 @@ def test_reify_golden(spark):
         ("c5", 1, _sid("c5", 1, "Q1", "P2", "Q3"), "Q1", "P2", "Q3", "normal", 1),
         ("c6", 1, _sid("c6", 1, "Q1", "P2", "Q3"), "Q1", "P2", "Q3", "normal", 1),
         ("c7", 1, _sid("c7", 1, "Q1", "P2", "Q3"), "Q1", "P2", "Q3", "normal", 1),
+        ("c8", 1, _sid("c8", 1, "Q1", "P2", "Q3"), "Q1", "P2", "Q3", "normal", 1),
+        ("c9", 1, _sid("c9", 1, "Q1", "P2", "Q3"), "Q1", "P2", "Q3", "normal", 1),
     }
     assert nodes == expected_nodes
 
@@ -89,19 +94,34 @@ def test_reify_golden(spark):
         (_sid("c4", 1, "Q1", "P2", "Q3"), "P4", "Q5", "value"),
         (sid5, "P4", bnode5, "somevalue"),
         (_sid("c6", 1, "Q1", "P2", "Q3"), "P4", "wdno:P4", "novalue"),
-        # quantity pq: simple form — signed amount lexical
+        # complex-value pq: simple forms — signed amount lexical /
+        # '+date'T time lexical / WKT point
         (_sid("c7", 1, "Q1", "P2", "Q3"), "P4", "+42", "value"),
+        (_sid("c8", 1, "Q1", "P2", "Q3"), "P4", "+2024-01-11T00:00:00Z", "value"),
+        (_sid("c9", 1, "Q1", "P2", "Q3"), "P4", "Point(140 -70)", "value"),
     }
     assert quals == expected_quals
 
-    # pqv:/wdv: full value node, content-hashed on (quantity, amount, unit)
+    # pqv:/wdv: full value nodes, content-hashed per kind, long-form
+    # component triples (two per node)
     vnodes = {
-        (x.stmt_id, x.qual_pred, x.val_id, x.amount, x.unit)
+        (x.stmt_id, x.qual_pred, x.val_id, x.kind, x.comp, x.comp_value)
         for x in reify.statement_value_nodes(r).collect()
     }
-    vid = "wdv:" + hashlib.sha256("quantity\x1f42\x1f1".encode()).hexdigest()[:16]
+    sid7 = _sid("c7", 1, "Q1", "P2", "Q3")
+    sid8 = _sid("c8", 1, "Q1", "P2", "Q3")
+    sid9 = _sid("c9", 1, "Q1", "P2", "Q3")
+    vid7 = "wdv:" + hashlib.sha256("quantity\x1f42\x1f1".encode()).hexdigest()[:16]
+    iso8 = "+2024-01-11T00:00:00Z"
+    vid8 = "wdv:" + hashlib.sha256(f"time\x1f{iso8}\x1f11".encode()).hexdigest()[:16]
+    vid9 = "wdv:" + hashlib.sha256("globe\x1f-70\x1f140".encode()).hexdigest()[:16]
     assert vnodes == {
-        (_sid("c7", 1, "Q1", "P2", "Q3"), "P4", vid, 42, "1")
+        (sid7, "P4", vid7, "quantity", "quantityAmount", "+42"),
+        (sid7, "P4", vid7, "quantity", "quantityUnit", "1"),
+        (sid8, "P4", vid8, "time", "timeValue", iso8),
+        (sid8, "P4", vid8, "time", "timePrecision", "11"),
+        (sid9, "P4", vid9, "globecoordinate", "geoLatitude", "-70"),
+        (sid9, "P4", vid9, "globecoordinate", "geoLongitude", "140"),
     }
 
     refs = {

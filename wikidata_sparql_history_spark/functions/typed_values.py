@@ -54,8 +54,11 @@ def _guard_inline(id_col: Column, what: str) -> Column:
     """Enforce the packing bound |id| <= MAX_INLINE_ID loudly and
     uniformly: out-of-range ids would overflow id*12 — throwing under
     ANSI mode but silently corrupting tags with ANSI off. raise_error
-    only evaluates on the violating rows."""
-    return F.when(F.abs(id_col) <= F.lit(MAX_INLINE_ID), id_col).otherwise(
+    only evaluates on the violating rows. NULL ids pass through as
+    NULL (SQL semantics: encode(NULL) = NULL, not an error)."""
+    return F.when(
+        id_col.isNull() | (F.abs(id_col) <= F.lit(MAX_INLINE_ID)), id_col
+    ).otherwise(
         F.raise_error(
             F.concat(
                 F.lit(f"typed_values: {what} id out of inline range: "),
@@ -100,7 +103,8 @@ def encode_decimal(v) -> Column:
     runs on the DECIMAL value, before the long cast can overflow."""
     scaled = F.round(_c(v).cast("decimal(38,8)") * DECIMAL_SCALE, 0)
     bounded = F.when(
-        F.abs(scaled) <= F.lit(MAX_INLINE_ID).cast("decimal(38,8)"),
+        scaled.isNull()
+        | (F.abs(scaled) <= F.lit(MAX_INLINE_ID).cast("decimal(38,8)")),
         scaled.cast("long"),
     ).otherwise(
         F.raise_error(

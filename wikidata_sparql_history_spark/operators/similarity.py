@@ -38,14 +38,28 @@ def with_cosine(pairs: DataFrame, left: str = "qvec", right: str = "embedding"):
 
 
 def cosine_topk(
-    embeddings: DataFrame, queries: DataFrame, k: int = 5
+    embeddings: DataFrame, queries: DataFrame, k: int = 5,
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Exact top-k neighbors per query vector.
 
     embeddings: (vec_id, embedding array<float>); queries:
     (qid, qvec). Output (qid, neighbor_id, rank) — ids only, so the
     result is float-precision-robust for oracle comparison.
+
+    The query side is broadcast, so it must be small: more than
+    `max_queries` rows raises instead of silently shipping a giant
+    broadcast (and an O(Q×N) cross product) to every executor — route
+    large query sets through `ivf_topk` / `lsh_bucket_topk` instead.
+    The bound check reads at most max_queries+1 rows.
     """
+    n_q = queries.limit(max_queries + 1).count()
+    if n_q > max_queries:
+        raise ValueError(
+            f"cosine_topk: query side has > {max_queries} rows — the "
+            "broadcast cross-product path is for small probe sets; use "
+            "ivf_topk or lsh_bucket_topk for large query sets"
+        )
     crossed = embeddings.crossJoin(F.broadcast(queries))
     scored = with_cosine(crossed).filter(F.col("vec_id") != F.col("qid"))
     w = Window.partitionBy("qid").orderBy(

@@ -66,6 +66,14 @@ def _canonical_map_driver(alias_edges: DataFrame) -> DataFrame:
 _MAP_CACHE: dict[tuple, DataFrame] = {}
 
 
+def _evict_dead_sessions(token: tuple) -> None:
+    """Drop cached maps belonging to other (dead) session tokens so
+    restarts within one driver process don't accumulate references."""
+    for k in list(_MAP_CACHE):
+        if k[: len(token)] != token:
+            _MAP_CACHE.pop(k)
+
+
 def session_token(spark) -> tuple:
     """Stable identity for a live session: applicationId + context start
     time. id(session) is unsafe — CPython reuses ids after GC, so a new
@@ -109,6 +117,7 @@ def canonical_map(
         key = (*key, driver_threshold)
         if key in _MAP_CACHE:
             return _MAP_CACHE[key]
+        _evict_dead_sessions(session_token(alias_edges.sparkSession))
     # exact duplicate (src, dst) rows are functionally valid — only a
     # src with two DIFFERENT dsts violates the forest precondition, so
     # the gate compares distinct edges against distinct srcs

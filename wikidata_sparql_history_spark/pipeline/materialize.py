@@ -10,7 +10,12 @@ Stages (each an idempotent table write; resume skips completed ones):
   4. ranges     — coalesced validity ranges (coalesce.coalesce_ranges)
   5. triples    — packed array-form triples table
   6. adjacency  — subj → [(pred, obj)]
-  7. statements / statement_qualifiers / statement_references —
+  7. dictionary / triples_encoded — the term dictionary (J6) and the
+     int64-encoded fact table written ALONGSIDE the string one: the
+     reference's on-disk layout is long-encoded (RocksStore.java:
+     403-453), and downstream snapshot scans over the encoded table
+     compare longs, never strings (plans/encoding.py)
+  8. statements / statement_qualifiers / statement_references —
      the reification layer (pipeline/reify.py; only when candidates
      AND aliases are provided, since its terms are linked)
 
@@ -118,6 +123,25 @@ def run_pipeline(
     from ..plans import views
 
     stage("adjacency", lambda: views.adjacency(ranges), sort_by=["subj"])
+
+    from ..plans import encoding
+
+    dictionary = stage(
+        "dictionary", lambda: encoding.build_dictionary(ranges), sort_by=["id"]
+    )
+    stage(
+        "triples_encoded",
+        lambda: encoding.encode_triples(
+            ranges.select(
+                "conv_id", "subj", "pred", "obj", "range_start", "range_end"
+            ),
+            dictionary,
+        ).select(
+            "conv_id", "subj_id", "pred_id", "obj_id",
+            "range_start", "range_end",
+        ),
+        sort_by=["subj_id", "pred_id", "obj_id"],
+    )
 
     if candidates is not None and aliases is not None:
         from . import reify

@@ -50,6 +50,41 @@ SEG_RE = (
 
 _SEP = "\x1f"
 
+# complex-value markers: V<amt> quantity, T<amt> time, C<amt> globe
+# coordinate (RdfBuilder.java:377-425's three value-node kinds)
+VALUE_RE = r"^[VTC]\d+$"
+TIME_BASE = "2024-01-01"  # T<amt> = TIME_BASE + amt days, day precision
+
+
+def _amt(col: str):
+    return F.expr(f"CAST(substring({col}, 2) AS BIGINT)")
+
+
+def _time_lexical(amt):
+    """'+YYYY-MM-DDT00:00:00Z' — the Wikidata time lexical for
+    TIME_BASE + amt days (amt < 1000 keeps years 4-digit)."""
+    d = F.date_add(F.lit(TIME_BASE).cast("date"), amt.cast("int"))
+    return F.concat(
+        F.lit("+"), F.date_format(d, "yyyy-MM-dd"), F.lit("T00:00:00Z")
+    )
+
+
+def _coord_lat(amt):
+    return amt % 180 - 90
+
+
+def _coord_lon(amt):
+    return (amt * 7) % 360 - 180
+
+
+def _coord_point(amt):
+    """WKT 'Point(lon lat)' (RdfBuilder's globe-coordinate simple
+    form; integer components keep the lexical engine-independent)."""
+    return F.concat(
+        F.lit("Point("), _coord_lon(amt), F.lit(" "), _coord_lat(amt),
+        F.lit(")"),
+    )
+
 
 def reified_segments(transcripts: DataFrame) -> DataFrame:
     """Parse every reified segment of every turn: (conv_id, turn_idx,
@@ -165,13 +200,14 @@ def statement_qualifiers(reified: DataFrame) -> DataFrame:
       (the reference hashes the snak into a skolem bnode id)
     - NoValueSnak — ``((P:!))`` → ``wdno:P`` class marker (the
       reference emits ``rdf:type wdno:P``)
-    - quantity ValueSnak — ``((P:V<amt>))`` → the pq: SIMPLE form
-      (signed amount lexical, RdfBuilder.java:427-433 canonical
-      decimal); the pqv: full value node lives in
+    - complex ValueSnak — ``((P:V<amt>))`` / ``((P:T<amt>))`` /
+      ``((P:C<amt>))`` → the pq: SIMPLE forms (signed amount lexical /
+      '+date'T time lexical / WKT point — RdfBuilder.java:427-433,
+      :377-425); the pqv: full value nodes live in
       `statement_value_nodes`
     """
     q = reified.filter(F.col("qual_pred") != "")
-    is_qty = F.col("qual_obj").rlike(r"^V\d+$")
+    amt = _amt("qual_obj")
     snak_type = (
         F.when(F.col("qual_obj") == "?", F.lit("somevalue"))
         .when(F.col("qual_obj") == "!", F.lit("novalue"))
@@ -186,7 +222,12 @@ def statement_qualifiers(reified: DataFrame) -> DataFrame:
     obj = (
         F.when(F.col("qual_obj") == "?", bnode)
         .when(F.col("qual_obj") == "!", F.concat(F.lit("wdno:"), "qual_pred"))
-        .when(is_qty, F.concat(F.lit("+"), F.expr("substring(qual_obj, 2)")))
+        .when(
+            F.col("qual_obj").rlike(r"^V\d+$"),
+            F.concat(F.lit("+"), F.expr("substring(qual_obj, 2)")),
+        )
+        .when(F.col("qual_obj").rlike(r"^T\d+$"), _time_lexical(amt))
+        .when(F.col("qual_obj").rlike(r"^C\d+$"), _coord_point(amt))
         .otherwise(F.col("qual_obj"))
     )
     return (
@@ -201,31 +242,78 @@ def statement_qualifiers(reified: DataFrame) -> DataFrame:
 
 
 def statement_value_nodes(reified: DataFrame) -> DataFrame:
-    """(stmt_id, qual_pred, val_id, amount, unit): the pqv:/wdv:
-    complex-value emission (RdfBuilder.java:377-425): every quantity
-    snak gets a CONTENT-HASHED value node carrying its components
-    (amount + unit; unitless quantities use unit '1' like the
-    reference). Identical quantities share one node — exactly the
-    reference's value-node dedup-by-hash."""
-    qty = reified.filter(F.col("qual_obj").rlike(r"^V\d+$"))
+    """(stmt_id, qual_pred, val_id, kind, comp, comp_value): the
+    pqv:/wdv: complex-value emission for all three value-node kinds
+    (RdfBuilder.java:377-425): every complex-value snak gets a
+    CONTENT-HASHED value node plus its component triples in long form —
+
+    - quantity  V<amt> — quantityAmount '+<amt>', quantityUnit '1'
+                (unitless like the reference, :427-433)
+    - time      T<amt> — timeValue '+YYYY-MM-DDT00:00:00Z',
+                timePrecision '11' (day, :377-400)
+    - globe     C<amt> — geoLatitude / geoLongitude (:401-425)
+
+    Identical values share one node — the reference's value-node
+    dedup-by-hash. Pure projections + a 2-element explode; the only
+    shuffle is the final distinct."""
+    vals = reified.filter(F.col("qual_obj").rlike(VALUE_RE))
+    kc = F.substring("qual_obj", 1, 1)
+    amt = _amt("qual_obj")
     amt_str = F.expr("substring(qual_obj, 2)")
+    iso = _time_lexical(amt)
+    lat = _coord_lat(amt).cast("string")
+    lon = _coord_lon(amt).cast("string")
+
+    def _sha16(*cols):
+        return F.substring(F.sha2(F.concat_ws(_SEP, *cols), 256), 1, 16)
+
+    kind = (
+        F.when(kc == "V", F.lit("quantity"))
+        .when(kc == "T", F.lit("time"))
+        .otherwise(F.lit("globecoordinate"))
+    )
     val_id = F.concat(
         F.lit("wdv:"),
-        F.substring(
-            F.sha2(
-                F.concat_ws(_SEP, F.lit("quantity"), amt_str, F.lit("1")), 256
-            ),
-            1,
-            16,
-        ),
+        F.when(kc == "V", _sha16(F.lit("quantity"), amt_str, F.lit("1")))
+        .when(kc == "T", _sha16(F.lit("time"), iso, F.lit("11")))
+        .otherwise(_sha16(F.lit("globe"), lat, lon)),
     )
-    return qty.select(
-        "stmt_id",
-        "qual_pred",
-        val_id.alias("val_id"),
-        amt_str.cast("long").alias("amount"),
-        F.lit("1").alias("unit"),
-    ).distinct()
+    comp1 = (
+        F.when(kc == "V", F.lit("quantityAmount"))
+        .when(kc == "T", F.lit("timeValue"))
+        .otherwise(F.lit("geoLatitude"))
+    )
+    v1 = (
+        F.when(kc == "V", F.concat(F.lit("+"), amt_str))
+        .when(kc == "T", iso)
+        .otherwise(lat)
+    )
+    comp2 = (
+        F.when(kc == "V", F.lit("quantityUnit"))
+        .when(kc == "T", F.lit("timePrecision"))
+        .otherwise(F.lit("geoLongitude"))
+    )
+    v2 = F.when(kc == "V", F.lit("1")).when(kc == "T", F.lit("11")).otherwise(lon)
+    return (
+        vals.select(
+            "stmt_id",
+            "qual_pred",
+            val_id.alias("val_id"),
+            kind.alias("kind"),
+            F.explode(
+                F.array(
+                    F.struct(comp1.alias("comp"), v1.alias("comp_value")),
+                    F.struct(comp2.alias("comp"), v2.alias("comp_value")),
+                )
+            ).alias("cv"),
+        )
+        .select(
+            "stmt_id", "qual_pred", "val_id", "kind",
+            F.col("cv.comp").alias("comp"),
+            F.col("cv.comp_value").alias("comp_value"),
+        )
+        .distinct()
+    )
 
 
 def statement_references(reified: DataFrame) -> DataFrame:

@@ -1,0 +1,86 @@
+"""spark.sql front door over the constructed KG tables (SURVEY.md §4).
+
+The reference's query entry point is SPARQL text prepared against its
+triple store (SimpleQueryPreparer.java:40-60: parse → optimize →
+evaluate over the snapshot/history views). The Spark-native analog is
+SQL text against registered temp views — Catalyst is the prepared-query
+optimizer, and every view is a lazy DataFrame plan, so SQL queries get
+the exact same pushdown/pruning/join-selection as the DataFrame API.
+
+`register_views` publishes the canonical view names:
+
+  kg_ranges_v   — (conv_id, subj, pred, obj, range_start, range_end)
+  kg_turns_v    — (conv_id, turn_idx, role, tool, ts, pos,
+                   next_turn_idx, parent_turn_idx)
+
+plus derived convenience views mirroring the reference's magic
+predicates and snapshot filters:
+
+  kg_metadata_v — the magic-predicate union (next/prev lookahead rows,
+                  RevisionFileConverter.java:129-136 analog)
+
+Snapshot-at-revision is parameterized at query time (`state_at_sql`)
+— a view per revision would defeat partition pruning of the literal
+comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import LONG_MAX
+
+RANGES_VIEW = "kg_ranges_v"
+TURNS_VIEW = "kg_turns_v"
+METADATA_VIEW = "kg_metadata_v"
+
+
+def register_views(
+    spark: SparkSession, ranges: DataFrame, turns: DataFrame
+) -> None:
+    """Publish the KG tables as session-scoped temp views. Temp views
+    wrap the lazy plans — no materialization happens here, and cached/
+    persisted upstream DataFrames keep their storage."""
+    ranges.createOrReplaceTempView(RANGES_VIEW)
+    turns.createOrReplaceTempView(TURNS_VIEW)
+    spark.sql(
+        f"""
+        CREATE OR REPLACE TEMPORARY VIEW {METADATA_VIEW} AS
+        SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+               'next' AS rel, CAST(next_turn_idx AS STRING) AS value
+        FROM {TURNS_VIEW} WHERE next_turn_idx != {LONG_MAX}
+        UNION ALL
+        SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+               'prev' AS rel, CAST(parent_turn_idx AS STRING) AS value
+        FROM {TURNS_VIEW} WHERE parent_turn_idx IS NOT NULL
+        """
+    )
+
+
+def state_at_sql(rev: int) -> str:
+    """Literal SQL text of the flagship snapshot query ("facts live at
+    revision rev") against the registered views — the reference
+    README's 'humans in Wikidata in 2015' front-door analog."""
+    return f"""
+        SELECT conv_id, subj, pred, obj FROM {RANGES_VIEW}
+        WHERE range_start <= {rev} AND {rev} < range_end
+    """
+
+
+def asserting_turn_sql() -> str:
+    """SQL text joining every validity range to the turn that asserted
+    it (range_start = the asserting turn's revision id), carrying the
+    turn's dense position — a ranges↔turn-metadata join entirely in
+    SQL text."""
+    return f"""
+        SELECT r.conv_id, r.subj, r.pred, r.obj,
+               CAST(t.pos AS BIGINT) AS pos
+        FROM {RANGES_VIEW} r
+        JOIN {TURNS_VIEW} t
+          ON r.conv_id = t.conv_id AND r.range_start = t.turn_idx
+    """
+
+
+def metadata_sql() -> str:
+    """SQL text over the magic-predicate view (next/prev)."""
+    return f"SELECT conv_id, turn_idx, rel, value FROM {METADATA_VIEW}"

@@ -86,24 +86,43 @@ def close_open_ranges_at(existing: DataFrame, boundaries: DataFrame) -> DataFram
     (conv_id, at_rev)). Conversations absent from `boundaries` (no new
     turns) keep their open ranges — closing them would diverge from a
     from-scratch build. One broadcast-sized join; no shuffle of the
-    triples table beyond its existing (conv_id, ...) grouping."""
+    triples table beyond its existing (conv_id, ...) grouping.
+
+    A boundary at or below an open range's start would produce an
+    inverted range (end <= start) that `merge_range_arrays` would then
+    fold incorrectly — that is always caller misuse (the boundary must
+    be the first turn AFTER the already-ingested batch), so it fails
+    loudly via raise_error instead of corrupting ranges silently."""
     b = boundaries.select(
         "conv_id", F.col("at_rev").cast("long").alias("_at")
     )
+
+    def _close(r):
+        bad = F.raise_error(
+            F.concat(
+                F.lit("close_open_ranges_at: boundary "),
+                F.col("_at").cast("string"),
+                F.lit(" <= open range start "),
+                r["start"].cast("string"),
+                F.lit(" (would invert the range)"),
+            )
+        ).cast("long")
+        return F.struct(
+            r["start"].alias("start"),
+            F.when(
+                r["end"] == LONG_MAX,
+                F.when(F.col("_at") > r["start"], F.col("_at")).otherwise(bad),
+            )
+            .otherwise(r["end"])
+            .alias("end"),
+        )
+
     return (
         existing.join(b, "conv_id", "left")
         .withColumn(
             "ranges",
             F.when(F.col("_at").isNull(), F.col("ranges")).otherwise(
-                F.transform(
-                    "ranges",
-                    lambda r: F.struct(
-                        r["start"].alias("start"),
-                        F.when(r["end"] == LONG_MAX, F.col("_at"))
-                        .otherwise(r["end"])
-                        .alias("end"),
-                    ),
-                )
+                F.transform("ranges", _close)
             ),
         )
         .drop("_at")

@@ -4,9 +4,13 @@ The streaming analog of the reference's inserted/deleted delta
 indexes (RocksStore.java:153-159): as transcript turns stream in, a
 per-conversation state (the set of currently-live facts) is
 maintained with `applyInPandasWithState`, and each processed turn
-emits `(conv_id, turn_idx, kind∈{add,del}, subj, pred, obj)` deltas —
-facts asserted that weren't live, and live facts the new turn no
-longer asserts.
+emits `(conv_id, turn_idx, kind∈{add,del,stale}, subj, pred, obj)`
+rows — facts asserted that weren't live, live facts the new turn no
+longer asserts, and `kind='stale'` audit rows for out-of-order turns
+that were DROPPED (see `_fact_state_fn`). Downstream consumers that
+aggregate deltas must filter ``kind != 'stale'`` (or route stale rows
+to a separate audit sink) so the add/del contract stays robust to
+micro-batch file-ordering replays.
 
 Semantics note: deltas are exact when turns arrive in order per
 conversation (the micro-batch sorts its rows by turn_idx; across

@@ -25,8 +25,11 @@ with
         qj_i = (c*2 + t + i) % 7; inner carries the snak forms on
         tri = (c + 2t + 5i) % 8: tri<=3 → E<qk> (ValueSnak) with
         qk_i = (c + t*7 + i*13) % 50, tri=4 → '?' (SomeValueSnak),
-        tri=5 → '!' (NoValueSnak), tri>=6 → V<amt> (quantity value →
-        hashed wdv: node) with amt = (c*9 + t*4 + i*17) % 1000
+        tri=5 → '!' (NoValueSnak), tri>=6 → a complex-value marker
+        (→ hashed wdv: node) with amt = (c*9 + t*4 + i*17) % 1000 and
+        kind selected by amt % 3: 0 → V<amt> (quantity), 1 → T<amt>
+        (time: 2024-01-01 + amt days, precision day), 2 → C<amt>
+        (globe coordinate: lat = amt%180-90, lon = (amt*7)%360-180)
     reference {{S<r>}} when (c*5 + t + i) % 4 == 0,
         r_i = (c + t + i*3) % 20
 
@@ -68,14 +71,19 @@ def _turn_cols():
         qk = (c + t * 7 + F.lit(i) * 13) % 50
         # snak forms (RdfBuilder.java:273-285 trichotomy + :377-425
         # complex values): entity value E<qk>, SomeValueSnak '?',
-        # NoValueSnak '!', quantity value V<amt> (→ hashed wdv: node)
+        # NoValueSnak '!', complex value V|T|C<amt> — quantity / time /
+        # globe-coordinate (→ hashed wdv: nodes), kind = amt % 3
         tri = (c + 2 * t + 5 * F.lit(i)) % 8
         amt = (c * 9 + t * 4 + F.lit(i) * 17) % 1000
+        marker = F.element_at(
+            F.array(F.lit("V"), F.lit("T"), F.lit("C")),
+            (amt % 3 + 1).cast("int"),
+        )
         inner = (
             F.when(tri <= 3, F.concat(F.lit("E"), qk))
             .when(tri == 4, F.lit("?"))
             .when(tri == 5, F.lit("!"))
-            .otherwise(F.concat(F.lit("V"), amt))
+            .otherwise(F.concat(marker, amt))
         )
         qual = F.when(
             (c + t + F.lit(i)) % 3 == 0,
@@ -220,7 +228,9 @@ def _seg_sql(i: int) -> str:
         f" THEN 'E' || ((c+t*7+{i * 13}) % 50)"
         f" WHEN (c + 2*t + {5 * i}) % 8 = 4 THEN '?'"
         f" WHEN (c + 2*t + {5 * i}) % 8 = 5 THEN '!'"
-        f" ELSE 'V' || ((c*9+t*4+{i * 17}) % 1000) END"
+        f" ELSE (ARRAY['V','T','C'])"
+        f"[CAST(((c*9+t*4+{i * 17}) % 1000) % 3 AS INTEGER) + 1]"
+        f" || ((c*9+t*4+{i * 17}) % 1000) END"
         f" || '))' ELSE '' END"
         f" || CASE WHEN (c*5+t+{i}) % 4 = 0 THEN"
         f" ' {{{{S' || ((c+t+{i * 3}) % 20) || '}}}}' ELSE '' END"
