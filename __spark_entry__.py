@@ -781,6 +781,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_sql_metadata"] = kg_sql_metadata
 
+    def kg_sql_canonical_map(spark, sf):
+        # Spark 4 recursive CTE as literal SQL text: the alias
+        # canonical map (forest → finite walk, UNION ALL is exact);
+        # same table as the DataFrame path-halving loop and the
+        # DuckDB oracle's recursive walk/canon CTEs
+        from wikidata_sparql_history_spark.plans import sql_surface
+
+        synth.alias_edges(spark).createOrReplaceTempView(
+            sql_surface.ALIASES_VIEW
+        )
+        return spark.sql(sql_surface.canonical_map_sql())
+
+    q["kg_sql_canonical_map"] = kg_sql_canonical_map
+
     def kg_entity_terms(spark, sf):
         # terms emission (RdfBuilder.java:205-217): per-entity
         # lang-tagged label/description/alias rows with BCP-47
@@ -830,6 +844,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["kg_stream_extract"] = kg_stream_extract
+
+    def kg_stream_window(spark, sf):
+        # §2.8: REAL streaming windowed aggregation, oracle-gated —
+        # land the transcripts as files, stream them through the
+        # event-time window/watermark operator (streaming/stateful.py
+        # windowed_turn_counts) under availableNow into a complete-mode
+        # memory sink; oracle = the same per-hour GROUP BY in DuckDB.
+        import re
+
+        app = spark.sparkContext.applicationId
+        base = f"/tmp/spark_graft_swin_{os.path.basename(sf.rstrip('/'))}_{app}"
+        shutil.rmtree(base, ignore_errors=True)
+        in_dir = f"{base}/in"
+        t = _kg_transcripts(spark, sf)
+        t.repartition(4).write.parquet(in_dir)
+        from wikidata_sparql_history_spark.streaming import stateful
+
+        stream = (
+            spark.readStream.schema(t.schema)
+            .option("maxFilesPerTrigger", 8)
+            .parquet(in_dir)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        counts = stateful.windowed_turn_counts(stream)
+        tbl = "swin_" + re.sub(r"\W", "_", app)
+        query = (
+            counts.writeStream.format("memory")
+            .queryName(tbl)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not query.awaitTermination(300):
+            query.stop()
+            raise RuntimeError("kg_stream_window: stream still running after 300s")
+        if query.exception() is not None:
+            raise RuntimeError(f"kg_stream_window failed: {query.exception()}")
+        return spark.table(tbl).select(
+            F.unix_timestamp("window_start").cast("long").alias("win_start"),
+            "role",
+            F.col("n_turns").cast("long").alias("n_turns"),
+        )
+
+    q["kg_stream_window"] = kg_stream_window
 
     # --- star-schema operator demos (SURVEY.md §2) ---
     def agg_pricing(spark, sf):
@@ -1407,6 +1465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sql_state_at", "kg_entity_terms",
         "kg_sql_asserting_turn", "kg_materialized_encoded",
         "kg_sql_metadata", "kg_property_scaffolding",
+        "kg_sql_canonical_map", "kg_stream_window",
         # never driver-sampled before
         "kg_path_zero_or_one", "repetition_stats",
         "kg_negated_pred_set",
@@ -1430,11 +1489,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_state_diff", "rdf_nt_roundtrip",
         "kg_statement_ids", "rdf_wkt_decimal",
         "kg_two_hop",
-        # core pipeline re-verification (kg_state_at's filter is
-        # re-verified via kg_sql_state_at — identical oracle)
+        # core pipeline re-verification (kg_state_at / kg_ranges_fast /
+        # kg_closure are r3-green-unchanged and transitively covered:
+        # every kg oracle re-derives the same turns/mentions/ranges)
         "kg_turn_order", "kg_extract",
         "kg_linked", "kg_ranges",
-        "kg_ranges_fast", "kg_closure",
     ]
     missing = [k for k in head if k not in q]
     assert not missing, f"ordering references unknown queries: {missing}"
@@ -1590,6 +1649,15 @@ def oracle_sql() -> dict[str, str]:
                          AS VARCHAR)
              FROM turns QUALIFY lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY pos)
                         IS NOT NULL""",
+        "kg_sql_canonical_map": f"""
+            WITH RECURSIVE aliases AS ({synth.alias_edges_sql()}),
+            walk AS (
+              SELECT src, dst FROM aliases
+              UNION ALL
+              SELECT w.src, a.dst FROM walk w JOIN aliases a ON w.dst = a.src
+            )
+            SELECT src, dst AS canon FROM walk
+            WHERE dst NOT IN (SELECT src FROM aliases)""",
         "kg_entity_terms": kg
         + r""", ents AS (
              SELECT DISTINCT e AS entity FROM (
@@ -1805,6 +1873,12 @@ def oracle_sql() -> dict[str, str]:
            JOIN dictx dd ON r.obj = dd.term""",
         "kg_stream_extract": kg
         + "SELECT conv_id, turn_idx, subj, pred, obj FROM mentions",
+        "kg_stream_window": kg
+        + """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
+                      AS win_start,
+                    role,
+                    CAST(count(*) AS BIGINT) AS n_turns
+             FROM transcripts GROUP BY 1, 2""",
         "kg_get_statements": kg
         + f"""SELECT conv_id, subj, pred, obj, 'history' AS ctx,
                     range_start AS rs

@@ -143,6 +143,16 @@ def run_pipeline(
         sort_by=["subj_id", "pred_id", "obj_id"],
     )
 
+    from . import terms as terms_mod
+
+    # terms emission rides the ranges table (RdfBuilder emits entity
+    # terms into the same RDF output stream, RdfBuilder.java:205-217)
+    stage(
+        "entity_terms",
+        lambda: terms_mod.entity_terms(ranges),
+        sort_by=["entity", "term_type"],
+    )
+
     if candidates is not None and aliases is not None:
         from . import reify
 

@@ -84,3 +84,30 @@ def asserting_turn_sql() -> str:
 def metadata_sql() -> str:
     """SQL text over the magic-predicate view (next/prev)."""
     return f"SELECT conv_id, turn_idx, rel, value FROM {METADATA_VIEW}"
+
+
+ALIASES_VIEW = "kg_aliases_v"
+
+
+def canonical_map_sql() -> str:
+    """Literal `WITH RECURSIVE` SQL for the alias canonical map over
+    the registered alias-edge view — Spark 4's recursive CTE on the
+    SQL surface, computing the same (src, canon) table as the
+    DataFrame path-halving loop (pipeline/canonicalize.py) and as the
+    DuckDB oracle's recursive `walk`/`canon` CTEs, text-for-text.
+
+    Spark's recursive CTEs support UNION ALL only (no UNION dedup),
+    which is exactly right here: the alias graph is a functional
+    forest (validated by canonical_map), so the walk is finite and
+    duplicate-free by construction. The terminal filter keeps only
+    walk rows ending at a non-source node — the canonical
+    representative."""
+    return f"""
+        WITH RECURSIVE walk(src, dst) AS (
+          SELECT src, dst FROM {ALIASES_VIEW}
+          UNION ALL
+          SELECT w.src, a.dst FROM walk w JOIN {ALIASES_VIEW} a ON w.dst = a.src
+        )
+        SELECT src, dst AS canon FROM walk
+        WHERE dst NOT IN (SELECT src FROM {ALIASES_VIEW})
+    """
