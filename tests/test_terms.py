@@ -56,6 +56,23 @@ def test_property_scaffolding_golden(spark):
     }
 
 
+def test_entity_terms_single_scan_single_exchange(spark, tmp_path):
+    """The terms table must read the fact table ONCE and shuffle ONCE
+    (the entity distinct) — the union-of-branches shape re-derived the
+    entity set per term type (6 scans / 3 exchanges), which at 100 TB
+    is five redundant fact-table passes. Plan-asserted."""
+    path = str(tmp_path / "ranges")
+    _ranges(spark, "Q1", "Q2").write.parquet(path)
+    plan = (
+        terms.entity_terms(spark.read.parquet(path))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("FileScan") == 1
+    assert plan.count("Exchange") == 1
+
+
 def test_entity_terms_skips_non_entities(spark):
     # non-Q terms (unlinked surface forms, predicates) emit no terms
     df = terms.entity_terms(_ranges(spark, "E99", "Q1"))
