@@ -43,16 +43,28 @@ def register_views(
     persisted upstream DataFrames keep their storage."""
     ranges.createOrReplaceTempView(RANGES_VIEW)
     turns.createOrReplaceTempView(TURNS_VIEW)
+    # one pass over the turns table: both magic-predicate rows of a
+    # turn are built in a single projection and exploded — a UNION ALL
+    # of per-relation branches would re-run the turn-ordering window
+    # once per branch (2 scans / 2 windows where 1 suffices at 100 TB)
     spark.sql(
         f"""
         CREATE OR REPLACE TEMPORARY VIEW {METADATA_VIEW} AS
-        SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
-               'next' AS rel, CAST(next_turn_idx AS STRING) AS value
-        FROM {TURNS_VIEW} WHERE next_turn_idx != {LONG_MAX}
-        UNION ALL
-        SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
-               'prev' AS rel, CAST(parent_turn_idx AS STRING) AS value
-        FROM {TURNS_VIEW} WHERE parent_turn_idx IS NOT NULL
+        SELECT conv_id, turn_idx, r.rel AS rel, r.value AS value
+        FROM (
+          SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                 explode(array_compact(array(
+                   IF(next_turn_idx != {LONG_MAX},
+                      named_struct('rel', 'next',
+                                   'value', CAST(next_turn_idx AS STRING)),
+                      NULL),
+                   IF(parent_turn_idx IS NOT NULL,
+                      named_struct('rel', 'prev',
+                                   'value', CAST(parent_turn_idx AS STRING)),
+                      NULL)
+                 ))) AS r
+          FROM {TURNS_VIEW}
+        )
         """
     )
 
