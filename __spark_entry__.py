@@ -889,6 +889,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_stream_window"] = kg_stream_window
 
+    def kg_stream_state_deltas(spark, sf):
+        # §2.8: the CUSTOM STATEFUL operator (applyInPandasWithState,
+        # streaming/stateful.py) oracle-gated end-to-end. The linked
+        # fact stream is landed with each conversation confined to one
+        # ordered file (repartition(conv_id) + sortWithinPartitions),
+        # so per-conv turn order is guaranteed — the same assumption
+        # the reference's dump reader makes. The live-set diff deltas
+        # the operator emits must then equal the batch ranges table's
+        # boundaries EXACTLY: kind='add' at each range_start, 'del' at
+        # each finite range_end (gaps-and-islands ⇔ per-turn set diff,
+        # given every turn asserts ≥1 fact — the P0 self-typing fact).
+        from wikidata_sparql_history_spark.streaming import stateful
+
+        app = spark.sparkContext.applicationId
+        base = f"/tmp/spark_graft_sdelta_{os.path.basename(sf.rstrip('/'))}_{app}"
+        shutil.rmtree(base, ignore_errors=True)
+        in_dir, chk, out_dir = f"{base}/in", f"{base}/chk", f"{base}/out"
+        linked = _kg_linked(spark, sf)
+        (
+            linked.repartition(4, "conv_id")
+            .sortWithinPartitions("conv_id", "turn_idx")
+            .write.parquet(in_dir)
+        )
+        stream = (
+            spark.readStream.schema(
+                "conv_id string, turn_idx long, subj string, "
+                "pred string, obj string"
+            )
+            .option("maxFilesPerTrigger", 100)
+            .parquet(in_dir)
+        )
+        deltas = stateful.fact_state_deltas(stream)
+        query = (
+            deltas.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not query.awaitTermination(300):
+            query.stop()
+            raise RuntimeError(
+                "kg_stream_state_deltas: stream still running after 300s"
+            )
+        if query.exception() is not None:
+            raise RuntimeError(
+                f"kg_stream_state_deltas failed: {query.exception()}"
+            )
+        return spark.read.parquet(out_dir).filter(
+            F.col("kind") != "stale"
+        ).select("conv_id", "turn_idx", "kind", "subj", "pred", "obj")
+
+    q["kg_stream_state_deltas"] = kg_stream_state_deltas
+
     # --- star-schema operator demos (SURVEY.md §2) ---
     def agg_pricing(spark, sf):
         li = _t(spark, sf, "lineitem")
@@ -1466,6 +1521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sql_asserting_turn", "kg_materialized_encoded",
         "kg_sql_metadata", "kg_property_scaffolding",
         "kg_sql_canonical_map", "kg_stream_window",
+        "kg_stream_state_deltas",
         # never driver-sampled before
         "kg_path_zero_or_one", "repetition_stats",
         "kg_negated_pred_set",
@@ -1490,10 +1546,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_statement_ids", "rdf_wkt_decimal",
         "kg_two_hop",
         # core pipeline re-verification (kg_state_at / kg_ranges_fast /
-        # kg_closure are r3-green-unchanged and transitively covered:
-        # every kg oracle re-derives the same turns/mentions/ranges)
-        "kg_turn_order", "kg_extract",
-        "kg_linked", "kg_ranges",
+        # kg_closure / kg_extract are r3-green-unchanged and
+        # transitively covered: every kg oracle re-derives the same
+        # turns/mentions/ranges, and kg_stream_extract — in the head —
+        # shares kg_extract's mentions oracle exactly)
+        "kg_turn_order", "kg_linked", "kg_ranges",
     ]
     missing = [k for k in head if k not in q]
     assert not missing, f"ordering references unknown queries: {missing}"
@@ -1879,6 +1936,15 @@ def oracle_sql() -> dict[str, str]:
                     role,
                     CAST(count(*) AS BIGINT) AS n_turns
              FROM transcripts GROUP BY 1, 2""",
+        # the stateful live-set diff must reproduce the batch ranges
+        # boundaries: add at range_start, del at finite range_end
+        "kg_stream_state_deltas": kg
+        + f"""SELECT conv_id, range_start AS turn_idx, 'add' AS kind,
+                    subj, pred, obj
+             FROM ranges
+             UNION ALL
+             SELECT conv_id, range_end, 'del', subj, pred, obj
+             FROM ranges WHERE range_end != {LONG_MAX}""",
         "kg_get_statements": kg
         + f"""SELECT conv_id, subj, pred, obj, 'history' AS ctx,
                     range_start AS rs
