@@ -1337,6 +1337,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "documents")
     )
 
+    def edit_distance_near_dup(spark, sf):
+        # exact-edit-distance near-dup verification: plant tail-edited
+        # copies (distance = 2-3 chars), block on the normalized
+        # 40-char prefix, Levenshtein re-rank. Dual-engine oracle —
+        # both engines' levenshtein are the classic DP, byte-equal.
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        planted = docs.select(
+            (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+            F.concat(
+                F.col("text"), F.lit(" v"), F.pmod("doc_id", F.lit(5))
+            ).alias("text"),
+        )
+        return dedup.edit_distance_pairs(
+            docs.unionByName(planted), prefix_len=40, max_dist=8
+        )
+
+    q["edit_distance_near_dup"] = edit_distance_near_dup
+
+    q["bm25_score_docs"] = lambda spark, sf: text_ops.bm25_score(
+        _t(spark, sf, "documents"), ["the", "a", "of"]
+    )
+
     def contamination_check(spark, sf):
         # eval-decontamination: train docs sharing ≥5 word-3-grams with
         # the benchmark slice (doc_id % 17 == 0) get flagged
@@ -1545,12 +1567,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_state_diff", "rdf_nt_roundtrip",
         "kg_statement_ids", "rdf_wkt_decimal",
         "kg_two_hop",
+        # new training-data operators (round 4)
+        "edit_distance_near_dup", "bm25_score_docs",
         # core pipeline re-verification (kg_state_at / kg_ranges_fast /
-        # kg_closure / kg_extract are r3-green-unchanged and
-        # transitively covered: every kg oracle re-derives the same
-        # turns/mentions/ranges, and kg_stream_extract — in the head —
-        # shares kg_extract's mentions oracle exactly)
-        "kg_turn_order", "kg_linked", "kg_ranges",
+        # kg_closure / kg_extract / kg_turn_order / kg_linked are
+        # r3-green-unchanged and transitively covered: every kg oracle
+        # re-derives the same turns/mentions/ranges; kg_stream_extract
+        # — in the head — shares kg_extract's mentions oracle exactly,
+        # kg_linked_salted shares kg_linked's, and kg_sql_asserting_turn
+        # joins through the turns table's pos ordering)
+        "kg_ranges",
     ]
     missing = [k for k in head if k not in q]
     assert not missing, f"ordering references unknown queries: {missing}"
@@ -2152,6 +2178,58 @@ def oracle_sql() -> dict[str, str]:
                     md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp
                   FROM documents)
             GROUP BY fp""",
+        "edit_distance_near_dup": f"""
+            WITH base AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + {PLANT_OFFSET},
+                     text || ' v' || (doc_id % 5)
+              FROM documents
+            ),
+            blk AS (
+              SELECT doc_id, text,
+                     substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                            1, 40) AS blk
+              FROM base
+            )
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+                   CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist
+            FROM blk a JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id
+            WHERE levenshtein(a.text, b.text) <= 8""",
+        "bm25_score_docs": rf"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '{text_ops.WORD_RE}', 0))
+                       AS term
+              FROM documents
+            ),
+            dl AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(lower(text), '{text_ops.WORD_RE}', 0))
+                          AS DOUBLE) AS dl
+              FROM documents
+            ),
+            stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                             avg(dl) AS avgdl FROM dl),
+            tf AS (
+              SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+              FROM w WHERE term IN ('the', 'a', 'of') GROUP BY 1, 2
+            ),
+            dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+                    FROM tf GROUP BY 1),
+            sc AS (
+              SELECT t.doc_id,
+                     ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                       * t.tf * (1.2 + 1)
+                       / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)) AS c
+              FROM tf t
+              JOIN dfq d USING (term)
+              JOIN dl l USING (doc_id)
+              CROSS JOIN stats s
+            )
+            SELECT d.doc_id, coalesce(round(sum(sc.c), 4), 0.0) AS bm25
+            FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+            GROUP BY d.doc_id""",
         "ngram_jaccard_pairs": _ngram_jaccard_sql(threshold=0.2),
         "dedup_clusters": _dedup_clusters_sql(threshold=0.2),
         "minhash_lsh_pairs": _minhash_lsh_sql(num_hashes=16, bands=4),

@@ -313,3 +313,44 @@ def test_repetition_stats_planted(spark):
     assert got[1] == (5, 0.8, 0.75)
     assert got[2] == (5, 0.0, 0.0)
     assert got[3] == (5, 0.6, 0.5)
+
+
+def test_edit_distance_pairs_planted(spark):
+    """Prefix-blocked Levenshtein near-dup: a tail-edited copy is found
+    with the exact distance; unrelated docs never pair (blocked apart);
+    a head-edited copy is missed by design (blocking recall tradeoff)."""
+    from wikidata_sparql_history_spark.operators.dedup import edit_distance_pairs
+
+    long_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [
+            (1, long_a),
+            (2, long_a + " XY"),          # tail edit, dist 3
+            (3, "completely different text about unrelated matters here"),
+            (4, "ZZ " + long_a),          # head edit -> different block
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.id1, r.id2): r.dist for r in edit_distance_pairs(df).collect()}
+    assert got == {(1, 2): 3}
+
+
+def test_bm25_monotonic_and_zero(spark):
+    """BM25: no query terms -> 0.0; more matches -> higher score; a
+    rarer term outscores a ubiquitous one at equal tf."""
+    from wikidata_sparql_history_spark.operators.text import bm25_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "the the the filler filler"),
+            (2, "the filler filler filler filler"),
+            (3, "no query words here at all"),
+            (4, "rare filler filler filler filler"),
+            (5, "filler filler filler filler filler"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.bm25 for r in bm25_score(df, ["the", "rare"]).collect()}
+    assert got[3] == 0.0 and got[5] == 0.0
+    assert got[1] > got[2] > 0          # higher tf -> higher score
+    assert got[4] > got[2]              # 'rare' (df=1) beats 'the' (df=2)

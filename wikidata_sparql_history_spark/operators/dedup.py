@@ -305,3 +305,35 @@ def simhash_band_pairs(docs: DataFrame, band_bits: int = 16) -> DataFrame:
         .select("id1", "id2")
         .distinct()
     )
+
+
+def edit_distance_pairs(
+    docs: DataFrame, prefix_len: int = 40, max_dist: int = 8
+) -> DataFrame:
+    """Exact-edit-distance near-dup pairs, prefix-blocked.
+
+    Classic bounded pairwise verification: candidates are generated by
+    NORMALIZED-PREFIX blocking (docs sharing their first `prefix_len`
+    normalized characters — near-identical docs with a tail edit land
+    in one block), then exact Levenshtein re-ranks the candidates and
+    keeps pairs within `max_dist`. Never all-pairs: the join key is
+    the block, candidate volume is governed by block sizes, and the
+    O(len²) distance runs only on candidates. Levenshtein is a
+    built-in on BOTH engines (JVM `levenshtein`, DuckDB
+    `levenshtein`) with identical semantics, so the oracle is a
+    direct dual-engine twin — no planted invariant needed.
+    """
+    base = docs.select(
+        "doc_id",
+        "text",
+        F.substring(normalize_text(), 1, prefix_len).alias("blk"),
+    )
+    a = base.selectExpr("doc_id AS id1", "text AS t1", "blk")
+    b = base.selectExpr("doc_id AS id2", "text AS t2", "blk")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("dist", F.levenshtein("t1", "t2"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id1", "id2", F.col("dist").cast("int").alias("dist"))
+    )

@@ -196,3 +196,62 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
                ).otherwise(F.lit(0.0)).alias("dup_bigram_frac"),
     )
     return out
+
+
+def bm25_score(
+    docs: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(doc_id, bm25): Okapi BM25 relevance of each document to a
+    fixed bag of query terms — the standard retrieval/quality-ranking
+    score a training-data pipeline uses for relevance filtering.
+
+    Shape at scale: one explode over the corpus feeding two hash
+    aggregations (per-doc term frequencies restricted to the query
+    terms, and per-term document frequencies — the latter is
+    |terms|-rows and broadcast back), plus a one-row corpus-stats
+    aggregate broadcast via crossJoin. No all-pairs, no Python; the
+    formula is plain double arithmetic, so the DuckDB oracle is a
+    direct dual-engine twin (ln == ln), rounded to 4 dp.
+    """
+    low = F.lower(F.col("text"))
+    words = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(low, F.lit(WORD_RE), 0)).alias("term"),
+    )
+    dl = docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(low, F.lit(WORD_RE), 0))
+        .cast("double")
+        .alias("dl"),
+    )
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        words.filter(F.col("term").isin(list(terms)))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    per_doc = (
+        scored.withColumn("c", idf * F.col("tf") * (k1 + 1) / denom)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("c"), 4).alias("bm25"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select("doc_id", F.coalesce("bm25", F.lit(0.0)).alias("bm25"))
+    )
