@@ -360,6 +360,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_dict_encode"] = dict_encode  # J6 dictionary encoding
 
+    def kg_dict_extend(spark, sf):
+        # day-2 get-or-insert dictionary maintenance (RocksStore.java:
+        # 403-453): build the dictionary over the batch-1 corpus only,
+        # then extend it with the full corpus — batch-1 terms must
+        # keep their ids verbatim, new terms append after the max
+        # (paired with kg_incremental_rebuild's two-batch range story)
+        from wikidata_sparql_history_spark.pipeline.construct import (
+            construct_ranges,
+        )
+
+        SPLIT = 20
+        t1 = _kg_transcripts(spark, sf).filter(F.col("turn_idx") <= SPLIT)
+        r1 = construct_ranges(
+            spark, t1, synth.candidate_dict(spark), synth.alias_edges(spark),
+            use_builtin_extractor=True,
+        ).select("conv_id", "subj", "pred", "obj", "range_start", "range_end")
+        d1 = encoding.build_dictionary(r1)
+        ext = encoding.extend_dictionary(d1, _kg_ranges(spark, sf))
+        return ext.select("term", "id")
+
+    q["kg_dict_extend"] = kg_dict_extend
+
     def delta_sizes(spark, sf):
         r = _kg_ranges(spark, sf)
         adds = r.groupBy("conv_id", F.col("range_start").alias("turn_idx")).agg(
@@ -1551,8 +1573,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_statements_reified", "typed_values_roundtrip",
         "kg_statement_qualifiers", "cosine_topk",
         "kg_statement_value_nodes", "merge_ranges_union",
-        "kg_statement_references", "kg_incremental_rebuild",
+        "kg_dict_extend", "kg_incremental_rebuild",
         "kg_resume_ranges", "kg_stream_extract",
+        # (kg_statement_references: r3-green, its emission path is
+        # untouched this round — rotated to the tail for the new
+        # get-or-insert dictionary query)
         # stale since CORRECTNESS_r02
         "kg_adjacency_stats", "agg_distinct_users",
         "kg_author_turns", "agg_group_concat",
@@ -1822,6 +1847,31 @@ def oracle_sql() -> dict[str, str]:
            JOIN dictx ds ON r.subj = ds.term
            JOIN dictx dp ON r.pred = dp.term
            JOIN dictx dd ON r.obj = dd.term""",
+        "kg_dict_extend": kg
+        + """, t1 AS (
+             SELECT DISTINCT term FROM (
+               SELECT subj AS term FROM linked WHERE turn_idx <= 20
+               UNION SELECT pred FROM linked WHERE turn_idx <= 20
+               UNION SELECT obj FROM linked WHERE turn_idx <= 20)
+           ),
+           allt AS (
+             SELECT DISTINCT term FROM (
+               SELECT subj AS term FROM ranges
+               UNION SELECT pred FROM ranges
+               UNION SELECT obj FROM ranges)
+           ),
+           d1 AS (
+             SELECT term,
+                    CAST(dense_rank() OVER (ORDER BY term) AS BIGINT) AS id
+             FROM t1
+           ),
+           dn AS (
+             SELECT term,
+                    CAST((SELECT count(*) FROM t1)
+                         + dense_rank() OVER (ORDER BY term) AS BIGINT) AS id
+             FROM allt WHERE term NOT IN (SELECT term FROM t1)
+           )
+           SELECT term, id FROM d1 UNION ALL SELECT term, id FROM dn""",
         "kg_encoded_filter": kg
         + """, dictx AS (
              SELECT term, CAST(dense_rank() OVER (ORDER BY term) AS BIGINT) AS id

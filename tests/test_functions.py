@@ -268,3 +268,26 @@ def test_datetime_lexical_fallback(spark):
     }
     for lex, enc, fb in cases:
         assert got[lex] == (enc, fb), lex
+
+
+def test_extend_dictionary_get_or_insert(spark):
+    """Day-2 dictionary maintenance: existing terms keep their ids
+    VERBATIM (id-stability — previously encoded tables stay
+    decodable), new terms append after max(id) in term order."""
+    t1 = spark.createDataFrame(
+        [("b", "p", "d")], "subj string, pred string, obj string"
+    )
+    d1 = encoding.build_dictionary(t1)
+    ids1 = {r["term"]: r["id"] for r in d1.collect()}
+    assert ids1 == {"b": 1, "d": 2, "p": 3}
+    t2 = spark.createDataFrame(
+        [("a", "p", "d"), ("b", "q", "c")],
+        "subj string, pred string, obj string",
+    )
+    ext = encoding.extend_dictionary(d1, t2)
+    ids = {r["term"]: r["id"] for r in ext.collect()}
+    # old ids unchanged; new terms a,c,q ranked after max id 3
+    assert ids == {"b": 1, "d": 2, "p": 3, "a": 4, "c": 5, "q": 6}
+    # idempotent: extending with already-known terms adds nothing
+    again = encoding.extend_dictionary(ext, t2)
+    assert {r["term"]: r["id"] for r in again.collect()} == ids

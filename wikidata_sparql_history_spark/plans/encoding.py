@@ -52,9 +52,46 @@ def build_dictionary(
     non-overlapping bucketing enumerates the sorted term sequence
     identically — so output matches the oracle's global dense_rank.
     """
-    spark = triples.sparkSession
+    return _rank_terms(_distinct_terms(triples), num_partitions, checkpoint)
+
+
+def extend_dictionary(
+    existing: DataFrame,
+    triples: DataFrame,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Get-or-insert dictionary maintenance (the reference's day-2
+    load semantics: RWStringStore assigns an id on FIRST encounter and
+    never reassigns, RocksStore.java:403-453). Terms already present
+    in `existing` keep their ids verbatim; terms new in `triples` are
+    appended AFTER the existing max id, ordered among themselves by
+    the same distributed two-pass rank. Returns the extended
+    (term, id) table — a superset of `existing`, id-stable, so every
+    previously written encoded fact table remains decodable."""
+    new_terms = _distinct_terms(triples).join(
+        existing.select("term"), "term", "left_anti"
+    )
+    base = existing.agg(
+        F.coalesce(F.max("id"), F.lit(0)).cast("long").alias("_base")
+    )
+    appended = (
+        _rank_terms(new_terms, num_partitions)
+        .crossJoin(F.broadcast(base))
+        .select("term", (F.col("id") + F.col("_base")).alias("id"))
+    )
+    return existing.select("term", "id").unionByName(appended)
+
+
+def _rank_terms(
+    terms: DataFrame,
+    num_partitions: int | None = None,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """The distributed global rank over a distinct (term) table —
+    shared by build_dictionary (all terms) and extend_dictionary
+    (new terms only)."""
+    spark = terms.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    terms = _distinct_terms(triples)
     ranged = terms.repartitionByRange(n, "term").withColumn(
         "bucket", F.spark_partition_id()
     )
