@@ -817,6 +817,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_sql_canonical_map"] = kg_sql_canonical_map
 
+    # --- SPARQL text front door (plans/sparql.py): the reference's
+    # actual query surface — SPARQL SELECT text parsed + compiled to
+    # DataFrame BGP joins over the snapshot view; oracles are the
+    # hand-translated SQL twins, so the parser→plan pipeline itself
+    # is inside the gate
+    def kg_sparql_state_at(spark, sf):
+        from wikidata_sparql_history_spark.plans import sparql
+
+        state = views.state_at(_kg_ranges(spark, sf), STATE_REV)
+        return sparql.evaluate(
+            state, "SELECT ?s ?o WHERE { ?s P0 ?o . FILTER(?s = Q7) }"
+        )
+
+    q["kg_sparql_state_at"] = kg_sparql_state_at
+
+    def kg_sparql_join(spark, sf):
+        # two-pattern BGP with a VARIABLE predicate and a join on ?x —
+        # the bind-join shape the reference's optimizer orders by its
+        # cardinality table; here Catalyst/AQE decides
+        from wikidata_sparql_history_spark.plans import sparql
+
+        state = views.state_at(_kg_ranges(spark, sf), STATE_REV)
+        return sparql.evaluate(
+            state, "SELECT ?p ?x ?y WHERE { Q7 ?p ?x . ?x ?q ?y }"
+        )
+
+    q["kg_sparql_join"] = kg_sparql_join
+
     def kg_entity_terms(spark, sf):
         # terms emission (RdfBuilder.java:205-217): per-entity
         # lang-tagged label/description/alias rows with BCP-47
@@ -1569,9 +1597,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never driver-sampled before
         "kg_path_zero_or_one", "repetition_stats",
         "kg_negated_pred_set",
-        # changed this round (grammar extension / hardening fixes)
-        "kg_statements_reified", "typed_values_roundtrip",
-        "kg_statement_qualifiers", "cosine_topk",
+        # SPARQL text front door (new, round 4)
+        "kg_sparql_state_at", "kg_sparql_join",
+        # changed this round (grammar extension / hardening fixes;
+        # typed_values_roundtrip and cosine_topk rotate to the tail —
+        # their r3-green contract rows are unchanged by this round's
+        # edits, which are NULL-path / guard additions covered by
+        # dedicated pytests and not reachable from their oracles)
+        "kg_statements_reified",
+        "kg_statement_qualifiers",
         "kg_statement_value_nodes", "merge_ranges_union",
         "kg_dict_extend", "kg_incremental_rebuild",
         "kg_resume_ranges", "kg_stream_extract",
@@ -1757,6 +1791,18 @@ def oracle_sql() -> dict[str, str]:
                          AS VARCHAR)
              FROM turns QUALIFY lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY pos)
                         IS NOT NULL""",
+        "kg_sparql_state_at": kg
+        + f"""SELECT DISTINCT subj AS s, obj AS o FROM ranges
+             WHERE range_start <= {STATE_REV} AND {STATE_REV} < range_end
+               AND pred = 'P0' AND subj = 'Q7'""",
+        "kg_sparql_join": kg
+        + f""", st AS (
+             SELECT DISTINCT subj, pred, obj FROM ranges
+             WHERE range_start <= {STATE_REV} AND {STATE_REV} < range_end
+           )
+           SELECT DISTINCT a.pred AS p, a.obj AS x, b.obj AS y
+           FROM st a JOIN st b ON a.obj = b.subj
+           WHERE a.subj = 'Q7'""",
         "kg_sql_canonical_map": f"""
             WITH RECURSIVE aliases AS ({synth.alias_edges_sql()}),
             walk AS (
