@@ -26,12 +26,14 @@ def rows(df):
 
 
 def test_parse_select_and_limit():
-    sel, pats, filts, limit = sparql.parse(
-        "SELECT ?s ?o WHERE { ?s <P0> ?o . FILTER(?s = Q7) } LIMIT 5"
+    sel, pats, filts, order, limit = sparql.parse(
+        "SELECT ?s ?o WHERE { ?s <P0> ?o . FILTER(?s = Q7) } "
+        "ORDER BY ?s ?o DESC LIMIT 5"
     )
     assert sel == ["s", "o"]
     assert pats == [("?s", "P0", "?o")]
     assert filts == [("s", "Q7")]
+    assert order == [("s", False), ("o", True)]
     assert limit == 5
 
 
@@ -78,6 +80,20 @@ def test_unbound_filter_and_select_raise(spark):
         )
     with pytest.raises(sparql.SparqlError, match="unbound"):
         sparql.evaluate(graph(spark), "SELECT ?z WHERE { ?s P1 ?o }")
+
+
+def test_order_by_limit_topk(spark):
+    # deterministic top-k: plans as TakeOrderedAndProject (O3)
+    q = "SELECT ?s ?o WHERE { ?s P2 ?o } ORDER BY ?o DESC LIMIT 1"
+    out = sparql.evaluate(graph(spark), q)
+    assert [tuple(r) for r in out.collect()] == [("Q3", "Q6")]
+    assert "TakeOrderedAndProject" in (
+        out._jdf.queryExecution().executedPlan().toString()
+    )
+    with pytest.raises(sparql.SparqlError, match="ORDER BY"):
+        sparql.evaluate(
+            graph(spark), "SELECT ?s WHERE { ?s P2 ?o } ORDER BY ?o"
+        )
 
 
 def test_bad_pattern_raises(spark):

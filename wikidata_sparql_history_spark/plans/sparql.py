@@ -6,7 +6,7 @@ provides the Spark-native analog for the workhorse subset:
 
     SELECT ?v1 ?v2 ... | *
     WHERE { t1 . t2 . ... FILTER(?v = term) ... }
-    [LIMIT n]
+    [ORDER BY ?v [DESC] ...] [LIMIT n]
 
 - Triple patterns ``s p o`` where each position is a variable (``?x``)
   or a constant term (``Q7`` / ``P0`` / ``<iri>`` — angle brackets are
@@ -17,6 +17,8 @@ provides the Spark-native analog for the workhorse subset:
   model, HistoryEvaluationStatistics.java:41-106).
 - ``FILTER(?v = term)`` equality filters (applied post-join; Catalyst
   pushes them down to the scans).
+- ``ORDER BY ?v [DESC]`` (multiple keys allowed) — with LIMIT this
+  plans as Spark's TakeOrderedAndProject (O3 top-k, no full sort).
 - Graph semantics are GLOBAL (the union over conversations,
   DISTINCT'd), matching the reference's single-graph view; evaluate
   against any (subj, pred, obj) DataFrame — typically
@@ -42,9 +44,11 @@ from pyspark.sql import functions as F
 
 _SELECT_RE = re.compile(
     r"^\s*SELECT\s+(?P<vars>\*|(?:\?\w+\s*)+)\s*WHERE\s*\{(?P<body>.*)\}"
+    r"\s*(?:ORDER\s+BY\s+(?P<order>(?:\?\w+(?:\s+DESC)?\s*)+))?"
     r"\s*(?:LIMIT\s+(?P<limit>\d+))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_ORDER_KEY_RE = re.compile(r"\?(\w+)(\s+DESC)?", re.IGNORECASE)
 _FILTER_RE = re.compile(
     r"FILTER\s*\(\s*\?(?P<var>\w+)\s*=\s*(?P<term>[^)\s]+)\s*\)",
     re.IGNORECASE,
@@ -66,10 +70,10 @@ def _term(tok: str) -> str:
 
 
 def parse(query: str):
-    """→ (select_vars | None for *, patterns, filters, limit).
+    """→ (select_vars | None for *, patterns, filters, order, limit).
 
     patterns: list of (s, p, o) where variables keep their '?'.
-    filters: list of (var, constant)."""
+    filters: list of (var, constant). order: list of (var, desc)."""
     m = _SELECT_RE.match(query)
     if not m:
         raise SparqlError(f"unparseable SPARQL SELECT: {query!r}")
@@ -99,8 +103,12 @@ def parse(query: str):
     select_vars = (
         None if sel == "*" else [v[1:] for v in re.findall(r"\?\w+", sel)]
     )
+    order = [
+        (om.group(1), bool(om.group(2)))
+        for om in _ORDER_KEY_RE.finditer(m.group("order") or "")
+    ]
     limit = int(m.group("limit")) if m.group("limit") else None
-    return select_vars, patterns, filters, limit
+    return select_vars, patterns, filters, order, limit
 
 
 def _is_var(tok: str) -> bool:
@@ -111,7 +119,7 @@ def evaluate(triples: DataFrame, query: str) -> DataFrame:
     """Evaluate a SPARQL SELECT against a (subj, pred, obj) DataFrame
     (global-graph semantics: input rows are DISTINCT'd on the three
     term columns first). Returns one column per selected variable."""
-    select_vars, patterns, filters, limit = parse(query)
+    select_vars, patterns, filters, order, limit = parse(query)
     g = triples.select("subj", "pred", "obj").distinct()
 
     acc = None
@@ -162,6 +170,20 @@ def evaluate(triples: DataFrame, query: str) -> DataFrame:
     if missing:
         raise SparqlError(f"SELECT references unbound variables: {missing}")
     acc = acc.select(*[F.col(f"v_{v}").alias(v) for v in out_vars]).distinct()
+    for var, _ in order:
+        if var not in seen_vars:
+            raise SparqlError(f"ORDER BY references unbound variable ?{var}")
+        if var not in out_vars:
+            raise SparqlError(
+                f"ORDER BY ?{var} must be among the selected variables"
+            )
+    if order:
+        acc = acc.orderBy(
+            *[
+                F.col(v).desc() if desc else F.col(v).asc()
+                for v, desc in order
+            ]
+        )
     if limit is not None:
         acc = acc.limit(limit)
     return acc
