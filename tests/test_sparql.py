@@ -1,10 +1,15 @@
 """SPARQL front-door tests (plans/sparql.py — SimpleQueryPreparer
-analog): parser, BGP join evaluation, filters, error paths."""
+analog): tokenizer/parser, BGP joins, OPTIONAL/UNION, GRAPH temporal
+contexts, magic predicates, aggregates, FILTER operators, typed
+literals, error paths."""
 
 from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
+from wikidata_sparql_history_spark import LONG_MAX
 from wikidata_sparql_history_spark.plans import sparql
 
 
@@ -21,21 +26,72 @@ def graph(spark):
     )
 
 
+def ranges(spark):
+    # (subj pred obj) valid over [start, end)
+    return spark.createDataFrame(
+        [
+            ("c1", "Q1", "P0", "Q2", 0, 5),
+            ("c1", "Q1", "P0", "Q3", 5, LONG_MAX),
+            ("c1", "Q2", "P1", "Q3", 2, 7),
+            ("c2", "Q9", "P0", "Q1", 5, 9),
+        ],
+        "conv_id string, subj string, pred string, obj string, "
+        "range_start long, range_end long",
+    )
+
+
+def turns(spark):
+    rows = [
+        ("c1", 1, "user", None, "2024-01-01 00:00:00", 1, 3, None),
+        ("c1", 3, "assistant", None, "2024-01-01 00:00:10", 2, LONG_MAX, 1),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx long, role string, tool string, "
+        "ts string, pos int, next_turn_idx long, parent_turn_idx long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def rows(df):
     return {tuple(r) for r in df.collect()}
 
 
+# --- parser ---------------------------------------------------------------
+
 def test_parse_select_and_limit():
-    sel, pats, filts, order, limit = sparql.parse(
+    q = sparql.parse(
         "SELECT ?s ?o WHERE { ?s <P0> ?o . FILTER(?s = Q7) } "
         "ORDER BY ?s ?o DESC LIMIT 5"
     )
-    assert sel == ["s", "o"]
-    assert pats == [("?s", "P0", "?o")]
-    assert filts == [("s", "Q7")]
-    assert order == [("s", False), ("o", True)]
-    assert limit == 5
+    assert [p.var for p in q.select] == ["s", "o"]
+    assert q.group == (
+        sparql.Pattern(sparql.Var("s"), sparql.Iri("P0"), sparql.Var("o")),
+        sparql.FilterExpr("s", "=", sparql.Iri("Q7")),
+    )
+    assert q.order == [("s", False), ("o", True)]
+    assert q.limit == 5 and not q.distinct
 
+
+def test_parse_typed_literal_terms():
+    q = sparql.parse(
+        'SELECT ?s WHERE { ?s P0 "x"@en . FILTER(?s >= "3"^^xsd:integer) }'
+    )
+    pat, fe = q.group
+    assert pat.o == sparql.Lit("x", "en", None)
+    assert fe.term == sparql.Lit("3", None, "xsd:integer")
+    assert sparql._is_numeric_const(fe.term)
+    assert sparql.string_form(pat.o) == "x@en"
+
+
+def test_parse_aggregate_projection():
+    q = sparql.parse(
+        "SELECT ?x (COUNT(?y) AS ?n) WHERE { ?x P0 ?y } GROUP BY ?x"
+    )
+    assert q.select[1] == sparql.Projection("n", "COUNT", "y", False)
+    assert q.group_by == ["x"]
+
+
+# --- BGP (unchanged semantics, multiset now) ------------------------------
 
 def test_star_selects_all_vars_sorted(spark):
     out = sparql.evaluate(graph(spark), "SELECT * WHERE { ?s P1 ?o }")
@@ -50,9 +106,14 @@ def test_bgp_join_on_shared_var(spark):
     }
 
 
-def test_filter_equality(spark):
-    q = "SELECT ?s WHERE { ?s P1 ?o . FILTER(?s = Q9) }"
-    assert rows(sparql.evaluate(graph(spark), q)) == {("Q9",)}
+def test_select_is_multiset_unless_distinct(spark):
+    # ?o projected away: Q3 has two P2 objects ⇒ two duplicate rows
+    q = "SELECT ?s WHERE { ?s P2 ?o }"
+    assert [tuple(r) for r in sparql.evaluate(graph(spark), q).collect()] == [
+        ("Q3",), ("Q3",)
+    ]
+    qd = "SELECT DISTINCT ?s WHERE { ?s P2 ?o }"
+    assert sparql.evaluate(graph(spark), qd).count() == 1
 
 
 def test_repeated_variable_matches_self_loops(spark):
@@ -65,25 +126,164 @@ def test_variable_predicate(spark):
     assert rows(sparql.evaluate(graph(spark), q)) == {("P2",)}
 
 
-def test_unsupported_feature_raises(spark):
-    with pytest.raises(sparql.SparqlError, match="OPTIONAL"):
+# --- OPTIONAL / UNION -----------------------------------------------------
+
+def test_optional_left_join_with_unbound(spark):
+    q = ("SELECT ?s ?z WHERE { ?s P1 ?o . OPTIONAL { ?o P2 ?z } "
+         "FILTER(?s = Q7) }")
+    out = rows(sparql.evaluate(graph(spark), q))
+    assert out == {("Q7", "Q5"), ("Q7", "Q6")}
+    # a subject whose optional side is empty keeps a NULL ?z
+    q2 = "SELECT ?s ?z WHERE { ?s P2 ?o . OPTIONAL { ?o P2 ?z } }"
+    assert rows(sparql.evaluate(graph(spark), q2)) == {
+        ("Q3", None), ("Q3", None)
+    }
+
+
+def test_union_null_pads_disjoint_vars(spark):
+    q = "SELECT ?a ?b WHERE { { ?a P0 ?x } UNION { ?b P2 ?x } }"
+    # multiset: Q3 appears twice (two P2 triples); disjoint vars NULL-pad
+    got = [tuple(r) for r in sparql.evaluate(graph(spark), q).collect()]
+    assert sorted(got, key=str) == sorted(
+        [("Q7", None), (None, "Q3"), (None, "Q3")], key=str)
+
+
+def test_nested_group_is_join(spark):
+    q = "SELECT ?x WHERE { { ?x P0 ?x } { ?x P1 ?y } }"
+    assert rows(sparql.evaluate(graph(spark), q)) == {("Q7",)}
+
+
+# --- GRAPH temporal contexts ---------------------------------------------
+
+def test_graph_state_additions_deletions(spark):
+    r = ranges(spark)
+    q = "SELECT ?s ?o WHERE { GRAPH <rev:global/5> { ?s P0 ?o } }"
+    assert rows(sparql.evaluate(None, q, ranges=r)) == {
+        ("Q1", "Q3"), ("Q9", "Q1")
+    }
+    qa = "SELECT ?s WHERE { GRAPH rev:additions/5 { ?s ?p ?o } }"
+    assert rows(sparql.evaluate(None, qa, ranges=r)) == {("Q1",), ("Q9",)}
+    qd = "SELECT ?s WHERE { GRAPH rev:deletions/5 { ?s ?p ?o } }"
+    assert rows(sparql.evaluate(None, qd, ranges=r)) == {("Q1",)}
+
+
+def test_graph_join_across_contexts(spark):
+    r = ranges(spark)
+    q = ("SELECT ?s WHERE { GRAPH rev:global/3 { ?s P0 ?o } . "
+         "GRAPH rev:deletions/5 { ?s P0 ?x } }")
+    assert rows(sparql.evaluate(None, q, ranges=r)) == {("Q1",)}
+
+
+def test_graph_errors(spark):
+    r = ranges(spark)
+    with pytest.raises(sparql.SparqlError, match="variable GRAPH"):
+        sparql.evaluate(None, "SELECT ?s WHERE { GRAPH ?g { ?s ?p ?o } }",
+                        ranges=r)
+    with pytest.raises(sparql.SparqlError, match="unknown graph IRI"):
+        sparql.evaluate(None, "SELECT ?s WHERE { GRAPH rev:bogus/1 { ?s ?p ?o } }",
+                        ranges=r)
+    with pytest.raises(sparql.SparqlError, match="need ranges"):
+        sparql.evaluate(None, "SELECT ?s WHERE { GRAPH rev:global/1 { ?s ?p ?o } }")
+
+
+# --- magic predicates -----------------------------------------------------
+
+def test_magic_predicates(spark):
+    t = turns(spark)
+    q = "SELECT ?t ?who WHERE { ?t hist:author ?who }"
+    assert rows(sparql.evaluate(None, q, turns=t)) == {
+        ("rev:c1/1", "user"), ("rev:c1/3", "assistant")
+    }
+    q2 = ("SELECT ?t ?c ?prev WHERE { ?t schema:about ?c . "
+          "?t schema:isBasedOn ?prev }")
+    assert rows(sparql.evaluate(None, q2, turns=t)) == {
+        ("rev:c1/3", "c1", "rev:c1/1")
+    }
+    q3 = "SELECT ?n WHERE { <rev:c1/1> hist:nextRevision ?n }"
+    assert rows(sparql.evaluate(None, q3, turns=t)) == {("rev:c1/3",)}
+    with pytest.raises(sparql.SparqlError, match="needs turns"):
+        sparql.evaluate(None, q)
+
+
+def test_magic_date_created_is_epoch_micros(spark):
+    t = turns(spark)
+    q = "SELECT ?d WHERE { <rev:c1/1> schema:dateCreated ?d }"
+    assert rows(sparql.evaluate(None, q, turns=t)) == {("1704067200000000",)}
+
+
+# --- aggregates -----------------------------------------------------------
+
+def test_count_group_by(spark):
+    q = ("SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s ?p ?o } "
+         "GROUP BY ?s ORDER BY ?s")
+    got = [tuple(r) for r in sparql.evaluate(graph(spark), q).collect()]
+    assert got == [("Q3", 2), ("Q7", 2), ("Q9", 1)]
+
+
+def test_count_star_and_distinct(spark):
+    q = "SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o }"
+    assert rows(sparql.evaluate(graph(spark), q)) == {(5,)}
+    q2 = "SELECT (COUNT(DISTINCT ?o) AS ?n) WHERE { ?s ?p ?o }"
+    assert rows(sparql.evaluate(graph(spark), q2)) == {(4,)}
+
+
+def test_ungrouped_select_var_raises(spark):
+    with pytest.raises(sparql.SparqlError, match="not in GROUP BY"):
         sparql.evaluate(
             graph(spark),
-            "SELECT ?s WHERE { ?s P1 ?o . OPTIONAL { ?o P2 ?z } }",
+            "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s ?p ?o }",
         )
 
 
-def test_unbound_filter_and_select_raise(spark):
-    with pytest.raises(sparql.SparqlError, match="unbound"):
-        sparql.evaluate(
-            graph(spark), "SELECT ?s WHERE { ?s P1 ?o . FILTER(?z = Q1) }"
-        )
-    with pytest.raises(sparql.SparqlError, match="unbound"):
-        sparql.evaluate(graph(spark), "SELECT ?z WHERE { ?s P1 ?o }")
+# --- FILTER operators -----------------------------------------------------
 
+def test_filter_equality(spark):
+    q = "SELECT ?s WHERE { ?s P1 ?o . FILTER(?s = Q9) }"
+    assert rows(sparql.evaluate(graph(spark), q)) == {("Q9",)}
+
+
+def test_filter_inequality_and_regex(spark):
+    q = "SELECT ?s WHERE { ?s P1 ?o . FILTER(?s != Q9) }"
+    assert rows(sparql.evaluate(graph(spark), q)) == {("Q7",)}
+    q2 = 'SELECT ?o WHERE { Q3 P2 ?o . FILTER(regex(?o, "Q[56]")) }'
+    assert rows(sparql.evaluate(graph(spark), q2)) == {("Q5",), ("Q6",)}
+
+
+def test_filter_numeric_range(spark):
+    df = spark.createDataFrame(
+        [("a", "P9", "3"), ("b", "P9", "12"), ("c", "P9", "7")],
+        "subj string, pred string, obj string",
+    )
+    # lexicographic would put "12" < "3"; numeric must not
+    q = 'SELECT ?s WHERE { ?s P9 ?v . FILTER(?v >= "7"^^xsd:integer) }'
+    assert rows(sparql.evaluate(df, q)) == {("b",), ("c",)}
+    q2 = "SELECT ?s WHERE { ?s P9 ?v . FILTER(?v < 7) }"
+    assert rows(sparql.evaluate(df, q2)) == {("a",)}
+
+
+# --- encoded surface (ExprValueConverter analog) --------------------------
+
+def test_encode_const_binds_before_join(spark):
+    enc = {"Q7": 70, "P0": 12, "Q3": 30, "P1": 13}
+    df = spark.createDataFrame(
+        [(70, 12, 70), (70, 13, 30)], "subj long, pred long, obj long"
+    )
+
+    def encode(term):
+        if isinstance(term, sparql.Lit) and sparql._is_numeric_const(term):
+            return int(term.lexical) * 12 + 3   # typed_values compose
+        return enc[sparql.string_form(term)]
+
+    q = "SELECT ?o WHERE { Q7 P1 ?o }"
+    assert rows(sparql.evaluate(df, q, encode_const=encode)) == {(30,)}
+    q2 = 'SELECT ?s WHERE { ?s ?p ?o . FILTER(?o >= "3"^^xsd:integer) }'
+    # encoded filter: 3*12+3 = 39 ⇒ only the (70,12,70) row
+    assert rows(sparql.evaluate(df, q2, encode_const=encode)) == {(70,)}
+
+
+# --- ORDER BY / LIMIT / errors -------------------------------------------
 
 def test_order_by_limit_topk(spark):
-    # deterministic top-k: plans as TakeOrderedAndProject (O3)
     q = "SELECT ?s ?o WHERE { ?s P2 ?o } ORDER BY ?o DESC LIMIT 1"
     out = sparql.evaluate(graph(spark), q)
     assert [tuple(r) for r in out.collect()] == [("Q3", "Q6")]
@@ -94,6 +294,25 @@ def test_order_by_limit_topk(spark):
         sparql.evaluate(
             graph(spark), "SELECT ?s WHERE { ?s P2 ?o } ORDER BY ?o"
         )
+
+
+def test_unsupported_feature_raises(spark):
+    with pytest.raises(sparql.SparqlError, match="MINUS"):
+        sparql.evaluate(
+            graph(spark),
+            "SELECT ?s WHERE { ?s P1 ?o . MINUS { ?s P0 ?s } }",
+        )
+    with pytest.raises(sparql.SparqlError, match="BIND"):
+        sparql.parse('SELECT ?s WHERE { ?s P1 ?o . BIND(1 AS ?x) }')
+
+
+def test_unbound_filter_and_select_raise(spark):
+    with pytest.raises(sparql.SparqlError, match="unbound"):
+        sparql.evaluate(
+            graph(spark), "SELECT ?s WHERE { ?s P1 ?o . FILTER(?z = Q1) }"
+        )
+    with pytest.raises(sparql.SparqlError, match="unbound"):
+        sparql.evaluate(graph(spark), "SELECT ?z WHERE { ?s P1 ?o }")
 
 
 def test_bad_pattern_raises(spark):

@@ -1,189 +1,731 @@
-"""Minimal SPARQL SELECT front door over the snapshot triple view.
+"""SPARQL SELECT front door (SimpleQueryPreparer.java:40-60 analog).
 
-The reference's query surface IS SPARQL text (SimpleQueryPreparer.java:
-40-60: parse → optimize → evaluate over the history store). This module
-provides the Spark-native analog for the workhorse subset:
+The reference's query surface IS SPARQL text: RDF4J parses the query,
+its optimizers rewrite it, and evaluation walks the history store
+(sparql/SimpleQueryPreparer.java, HistoryRepository.java:144-154).
+This module is the Spark-native analog: a recursive-descent parser to
+a small algebra, compiled to a DataFrame plan that Catalyst/AQE
+optimizes (replacing the reference's hand-tuned cardinality model,
+HistoryEvaluationStatistics.java:41-106).
 
-    SELECT ?v1 ?v2 ... | *
-    WHERE { t1 . t2 . ... FILTER(?v = term) ... }
-    [ORDER BY ?v [DESC] ...] [LIMIT n]
+Grammar (ANSI-ish EBNF, keywords case-insensitive)::
 
-- Triple patterns ``s p o`` where each position is a variable (``?x``)
-  or a constant term (``Q7`` / ``P0`` / ``<iri>`` — angle brackets are
-  stripped). Variable predicates are supported.
-- Basic graph pattern evaluation = chain of inner joins on shared
-  variables — exactly the reference's BGP join (bind-join ordering is
-  left to Catalyst/AQE, which replaces its hand-tuned cardinality
-  model, HistoryEvaluationStatistics.java:41-106).
-- ``FILTER(?v = term)`` equality filters (applied post-join; Catalyst
-  pushes them down to the scans).
-- ``ORDER BY ?v [DESC]`` (multiple keys allowed) — with LIMIT this
-  plans as Spark's TakeOrderedAndProject (O3 top-k, no full sort).
-- Graph semantics are GLOBAL (the union over conversations,
-  DISTINCT'd), matching the reference's single-graph view; evaluate
-  against any (subj, pred, obj) DataFrame — typically
-  ``views.state_at(ranges, rev)`` for snapshot-at-revision queries or
-  the full ranges table for history-wide queries.
+    query    := SELECT [DISTINCT] proj+ | '*'
+                WHERE group
+                [GROUP BY ?v+] [ORDER BY (?v [DESC])+] [LIMIT n]
+    proj     := ?v | '(' AGG '(' [DISTINCT] (?v | '*') ')' AS ?v ')'
+    AGG      := COUNT | SUM | MIN | MAX | AVG
+    group    := '{' element* '}'
+    element  := triple '.'? | FILTER '(' expr ')' | OPTIONAL group
+              | GRAPH iri group | group (UNION group)+
+    triple   := term term term
+    expr     := ?v ('='|'!='|'<'|'>'|'<='|'>=') term
+              | REGEX '(' ?v ',' string ')'
+    term     := ?v | <iri> | prefixed:name | bareword | number
+              | '"lex"' ['@lang' | '^^datatype']
 
-Constants in patterns become scan-side equality filters (the
-ExprValueConverter spirit: bind before joining); every pattern scans
-the SAME input DataFrame, so a persisted/cached triples table is
-scanned from memory per pattern.
+Semantics notes (deviations from full SPARQL 1.1 are explicit):
 
-Deliberately NOT implemented (rejected loudly): OPTIONAL, UNION,
-property paths (use plans/paths.py directly), ORDER BY, aggregates —
-the error message names the unsupported token.
+- SELECT is MULTISET (duplicates preserved) unless DISTINCT is given —
+  per the round-4 advice; the graph itself is still a set (input rows
+  are DISTINCT'd on the three term columns: single-graph semantics).
+- BGP = chain of joins on shared variables; join order is textual and
+  Catalyst/AQE re-orders (the reference's bind-join selection).
+- OPTIONAL → left outer join on the shared variables (RDF4J LeftJoin);
+  unmatched rows carry NULL for the optional-only variables.
+- UNION → unionByName with NULL padding for branch-disjoint variables.
+- GRAPH <rev:global/N> / <rev:additions/N> / <rev:deletions/N> group:
+  patterns inside evaluate against views.state_at / additions_at /
+  deletions_at(ranges, N) — the reference's temporal named graphs
+  (RocksTripleSource.java:107-139, Vocabulary.java REVISION_*
+  namespaces). Requires `ranges=`; variable graph names are rejected.
+- Magic predicates: a constant predicate in the schema:/hist: registry
+  (schema:about, schema:author (alias hist:author), schema:dateCreated,
+  schema:isBasedOn, hist:previousRevision, hist:nextRevision,
+  hist:revisionId) substitutes the corresponding metadata view as that
+  pattern's relation, mirroring the reference's dispatch
+  (RocksTripleSource.java:71-88,116-121). Turn nodes are IRIs
+  `rev:<conv_id>/<turn_idx>` (REVISION_NAMESPACE analog);
+  schema:dateCreated objects are epoch-microsecond strings. Requires
+  `turns=`; magic patterns ignore the GRAPH context (metadata is
+  graph-independent in the reference too) and need a constant
+  predicate — a variable predicate only matches the triple store.
+- FILTER: =, !=, <, >, <=, >= and REGEX(?v, "pat"). Ordered
+  comparisons against a numeric constant (bare number or
+  ^^xsd:integer/decimal) compare numerically (cast to double);
+  against a string/IRI they compare lexicographically — the
+  CompareOptimizer surface (SimpleQueryPreparer.java:24-26).
+- Typed literals: "x"@lang and "3"^^xsd:integer parse as structured
+  terms. On the default string graph they match their lexical form
+  (lang literals as lex@lang). With `encode_const=` every constant is
+  converted driver-side BEFORE the join — the ExprValueConverter
+  analog (sparql/ExprValueConverter.java:19-44): pass a callable
+  Term → encoded value (e.g. dictionary id, or the typed_values
+  id*12+tag inline composition for numerics).
+- Joins on variables that may be unbound (after OPTIONAL/UNION) use
+  strict NULL-rejecting equality, not SPARQL compatibility-join;
+  aggregates other than COUNT cast to double; no HAVING, no property
+  paths in text (use plans/paths.py), no subqueries, no BIND. Each
+  restriction is rejected loudly with the offending token named.
 """
 
 from __future__ import annotations
 
 import re
+from dataclasses import dataclass, field
+from typing import Callable, Optional as Opt
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_SELECT_RE = re.compile(
-    r"^\s*SELECT\s+(?P<vars>\*|(?:\?\w+\s*)+)\s*WHERE\s*\{(?P<body>.*)\}"
-    r"\s*(?:ORDER\s+BY\s+(?P<order>(?:\?\w+(?:\s+DESC)?\s*)+))?"
-    r"\s*(?:LIMIT\s+(?P<limit>\d+))?\s*$",
-    re.IGNORECASE | re.DOTALL,
-)
-_ORDER_KEY_RE = re.compile(r"\?(\w+)(\s+DESC)?", re.IGNORECASE)
-_FILTER_RE = re.compile(
-    r"FILTER\s*\(\s*\?(?P<var>\w+)\s*=\s*(?P<term>[^)\s]+)\s*\)",
-    re.IGNORECASE,
-)
-_UNSUPPORTED = ("OPTIONAL", "UNION", "ORDER", "GROUP", "MINUS", "GRAPH")
+from .. import LONG_MAX
+from . import views
 
 
 class SparqlError(ValueError):
     pass
 
 
-def _term(tok: str) -> str:
-    """Strip <...> from IRIs; quoted literals lose their quotes."""
-    if tok.startswith("<") and tok.endswith(">"):
-        return tok[1:-1]
-    if len(tok) >= 2 and tok[0] == '"' and tok[-1] == '"':
-        return tok[1:-1]
-    return tok
+# --------------------------------------------------------------------------
+# terms + AST
+# --------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class Var:
+    name: str
 
 
-def parse(query: str):
-    """→ (select_vars | None for *, patterns, filters, order, limit).
+@dataclass(frozen=True)
+class Iri:
+    text: str  # prefixed form or the <...> interior
 
-    patterns: list of (s, p, o) where variables keep their '?'.
-    filters: list of (var, constant). order: list of (var, desc)."""
-    m = _SELECT_RE.match(query)
-    if not m:
-        raise SparqlError(f"unparseable SPARQL SELECT: {query!r}")
-    body = m.group("body")
-    for kw in _UNSUPPORTED:
-        if re.search(rf"\b{kw}\b", body, re.IGNORECASE):
-            raise SparqlError(
-                f"unsupported SPARQL feature {kw}: use the DataFrame/SQL "
-                "surface (plans/paths.py, plans/sql_surface.py) instead"
-            )
-    filters = [
-        (fm.group("var"), _term(fm.group("term")))
-        for fm in _FILTER_RE.finditer(body)
-    ]
-    body = _FILTER_RE.sub("", body)
-    patterns = []
-    for clause in (c.strip() for c in body.split(".")):
-        if not clause:
-            continue
-        toks = clause.split()
-        if len(toks) != 3:
-            raise SparqlError(f"bad triple pattern: {clause!r}")
-        patterns.append(tuple(_term(t) for t in toks))
-    if not patterns:
-        raise SparqlError("empty WHERE block")
-    sel = m.group("vars").strip()
-    select_vars = (
-        None if sel == "*" else [v[1:] for v in re.findall(r"\?\w+", sel)]
+
+@dataclass(frozen=True)
+class Lit:
+    lexical: str
+    lang: Opt[str] = None
+    datatype: Opt[str] = None
+
+
+Term = object  # Var | Iri | Lit
+
+_NUMERIC_DATATYPES = {
+    "xsd:integer", "xsd:decimal", "xsd:double", "xsd:long", "xsd:int",
+    "http://www.w3.org/2001/XMLSchema#integer",
+    "http://www.w3.org/2001/XMLSchema#decimal",
+    "http://www.w3.org/2001/XMLSchema#double",
+}
+
+
+def _is_numeric_const(t) -> bool:
+    return isinstance(t, Lit) and (
+        t.datatype in _NUMERIC_DATATYPES
+        or (t.datatype is None and t.lang is None
+            and re.fullmatch(r"-?\d+(\.\d+)?", t.lexical) is not None)
     )
-    order = [
-        (om.group(1), bool(om.group(2)))
-        for om in _ORDER_KEY_RE.finditer(m.group("order") or "")
-    ]
-    limit = int(m.group("limit")) if m.group("limit") else None
-    return select_vars, patterns, filters, order, limit
 
 
-def _is_var(tok: str) -> bool:
-    return tok.startswith("?")
+def string_form(t) -> str:
+    """A constant's matching key on the plain string-term graph."""
+    if isinstance(t, Iri):
+        return t.text
+    if isinstance(t, Lit):
+        return f"{t.lexical}@{t.lang}" if t.lang else t.lexical
+    raise SparqlError(f"not a constant term: {t!r}")
 
 
-def evaluate(triples: DataFrame, query: str) -> DataFrame:
-    """Evaluate a SPARQL SELECT against a (subj, pred, obj) DataFrame
-    (global-graph semantics: input rows are DISTINCT'd on the three
-    term columns first). Returns one column per selected variable."""
-    select_vars, patterns, filters, order, limit = parse(query)
-    g = triples.select("subj", "pred", "obj").distinct()
+@dataclass(frozen=True)
+class Pattern:
+    s: Term
+    p: Term
+    o: Term
 
-    acc = None
-    seen_vars: set[str] = set()
-    for i, (s, p, o) in enumerate(patterns):
-        df = g
-        cols = []
-        for pos, tok in zip(("subj", "pred", "obj"), (s, p, o)):
-            if _is_var(tok):
-                cols.append(F.col(pos).alias(f"v_{tok[1:]}"))
+
+@dataclass(frozen=True)
+class FilterExpr:
+    var: str
+    op: str          # '=', '!=', '<', '>', '<=', '>=', 'regex'
+    term: Term       # for regex: Lit carrying the pattern
+
+
+@dataclass(frozen=True)
+class OptionalBlock:
+    group: tuple
+
+
+@dataclass(frozen=True)
+class GraphBlock:
+    kind: str        # 'state' | 'additions' | 'deletions'
+    rev: int
+    group: tuple
+
+
+@dataclass(frozen=True)
+class UnionBlock:
+    branches: tuple  # of groups
+
+
+@dataclass(frozen=True)
+class Projection:
+    var: str                 # output name (agg alias or the variable)
+    agg: Opt[str] = None     # COUNT/SUM/MIN/MAX/AVG, None for plain var
+    arg: Opt[str] = None     # argument variable, '*' for COUNT(*)
+    distinct: bool = False
+
+
+@dataclass
+class Query:
+    distinct: bool
+    select: Opt[list]        # list[Projection] | None for '*'
+    group: tuple
+    group_by: list = field(default_factory=list)
+    order: list = field(default_factory=list)   # [(var, desc)]
+    limit: Opt[int] = None
+
+
+# --------------------------------------------------------------------------
+# tokenizer
+# --------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+      (?P<ws>\s+)
+    | "(?P<str>[^"]*)"
+        (?:@(?P<lang>[A-Za-z][A-Za-z0-9-]*)
+          |\^\^(?:<(?P<dtiri>[^>]+)>|(?P<dtpfx>[A-Za-z_][\w.-]*:[\w.-]+)))?
+    | <(?P<iri>[^<>\s]+)>
+    | \?(?P<var>\w+)
+    | (?P<num>-?\d+(?:\.\d+)?)
+    | (?P<word>[A-Za-z_][\w.-]*(?::[\w./-]+)?)
+    | (?P<punct>\{|\}|\(|\)|,|\.|\*|!=|<=|>=|=|<|>)
+    """,
+    re.VERBOSE,
+)
+
+_KEYWORDS = {
+    "SELECT", "DISTINCT", "WHERE", "FILTER", "OPTIONAL", "UNION", "GRAPH",
+    "GROUP", "ORDER", "BY", "LIMIT", "AS", "DESC", "ASC", "REGEX",
+    "COUNT", "SUM", "MIN", "MAX", "AVG", "MINUS", "HAVING", "BIND",
+    "VALUES", "EXISTS", "SERVICE", "OFFSET",
+}
+_REJECTED_KEYWORDS = {"MINUS", "HAVING", "BIND", "VALUES", "EXISTS",
+                      "SERVICE", "OFFSET"}
+
+
+def _tokenize(text: str):
+    out, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            raise SparqlError(f"lexical error at: {text[pos:pos + 20]!r}")
+        pos = m.end()
+        if m.group("ws"):
+            continue
+        if m.group("str") is not None:
+            out.append(("term", Lit(m.group("str"), m.group("lang"),
+                                    m.group("dtiri") or m.group("dtpfx"))))
+        elif m.group("iri") is not None:
+            out.append(("term", Iri(m.group("iri"))))
+        elif m.group("var") is not None:
+            out.append(("var", Var(m.group("var"))))
+        elif m.group("num") is not None:
+            out.append(("term", Lit(m.group("num"))))
+        elif m.group("word") is not None:
+            w = m.group("word")
+            while w.endswith("."):   # greedy word regex ate a '.' terminator
+                w = w[:-1]
+                pos -= 1
+            if w.upper() in _KEYWORDS and ":" not in w:
+                out.append(("kw", w.upper()))
             else:
-                df = df.filter(F.col(pos) == tok)
-        df = df.select(*cols) if cols else df.select()
-        pat_vars = {t[1:] for t in (s, p, o) if _is_var(t)}
-        if len(pat_vars) < sum(_is_var(t) for t in (s, p, o)):
-            # repeated variable within one pattern (?x p ?x): equality
-            pairs = [t for t in (s, p, o) if _is_var(t)]
-            # the alias collides; rebuild with positional names + filter
-            df = g
-            for pos, tok in zip(("subj", "pred", "obj"), (s, p, o)):
-                if not _is_var(tok):
-                    df = df.filter(F.col(pos) == tok)
-            keep = {}
-            cond = None
-            for pos, tok in zip(("subj", "pred", "obj"), (s, p, o)):
-                if _is_var(tok):
-                    v = tok[1:]
-                    if v in keep:
-                        c = F.col(keep[v]) == F.col(pos)
-                        cond = c if cond is None else (cond & c)
-                    else:
-                        keep[v] = pos
-            df = df.filter(cond).select(
-                *[F.col(pos).alias(f"v_{v}") for v, pos in keep.items()]
-            )
-        if acc is None:
-            acc, seen_vars = df, pat_vars
+                out.append(("term", Iri(w)))
         else:
-            on = [f"v_{v}" for v in pat_vars & seen_vars]
-            acc = acc.join(df, on) if on else acc.crossJoin(df)
-            seen_vars |= pat_vars
-    for var, const in filters:
-        if var not in seen_vars:
-            raise SparqlError(f"FILTER references unbound variable ?{var}")
-        acc = acc.filter(F.col(f"v_{var}") == const)
-    out_vars = select_vars if select_vars is not None else sorted(seen_vars)
-    missing = [v for v in out_vars if v not in seen_vars]
+            out.append(("punct", m.group("punct")))
+    return out
+
+
+# --------------------------------------------------------------------------
+# parser
+# --------------------------------------------------------------------------
+
+_GRAPH_IRI_RE = re.compile(r"^(?:rev:|http://www\.wikidata\.org/revision/)"
+                           r"(global|additions|deletions)/(\d+)$")
+_GRAPH_KIND = {"global": "state", "additions": "additions",
+               "deletions": "deletions"}
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.toks = _tokenize(text)
+        self.i = 0
+
+    def _peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def _next(self):
+        t = self._peek()
+        self.i += 1
+        return t
+
+    def _at_kw(self, *kws) -> bool:
+        k, v = self._peek()
+        return k == "kw" and v in kws
+
+    def _at_punct(self, p) -> bool:
+        k, v = self._peek()
+        return k == "punct" and v == p
+
+    def _expect_punct(self, p):
+        k, v = self._next()
+        if k != "punct" or v != p:
+            raise SparqlError(f"expected {p!r}, got {v!r}")
+
+    def _expect_kw(self, kw):
+        k, v = self._next()
+        if k != "kw" or v != kw:
+            raise SparqlError(f"expected {kw}, got {v!r}")
+
+    # ---- query ----------------------------------------------------------
+
+    def parse_query(self) -> Query:
+        self._expect_kw("SELECT")
+        distinct = False
+        if self._at_kw("DISTINCT"):
+            self._next()
+            distinct = True
+        select = self._parse_projections()
+        self._expect_kw("WHERE")
+        group = self._parse_group()
+        group_by, order, limit = [], [], None
+        while True:
+            if self._at_kw("GROUP"):
+                self._next()
+                self._expect_kw("BY")
+                while self._peek()[0] == "var":
+                    group_by.append(self._next()[1].name)
+                if not group_by:
+                    raise SparqlError("GROUP BY needs at least one variable")
+            elif self._at_kw("ORDER"):
+                self._next()
+                self._expect_kw("BY")
+                while self._peek()[0] == "var":
+                    v = self._next()[1].name
+                    desc = False
+                    if self._at_kw("DESC"):
+                        self._next()
+                        desc = True
+                    elif self._at_kw("ASC"):
+                        self._next()
+                    order.append((v, desc))
+                if not order:
+                    raise SparqlError("ORDER BY needs at least one variable")
+            elif self._at_kw("LIMIT"):
+                self._next()
+                k, v = self._next()
+                if k != "term" or not isinstance(v, Lit) or not v.lexical.isdigit():
+                    raise SparqlError(f"LIMIT needs an integer, got {v!r}")
+                limit = int(v.lexical)
+            elif self._peek()[0] is None:
+                break
+            else:
+                raise SparqlError(f"trailing tokens at {self._peek()[1]!r}")
+        return Query(distinct, select, group, group_by, order, limit)
+
+    def _parse_projections(self):
+        if self._at_punct("*"):
+            self._next()
+            return None
+        projs = []
+        while True:
+            k, v = self._peek()
+            if k == "var":
+                self._next()
+                projs.append(Projection(v.name))
+            elif k == "punct" and v == "(":
+                self._next()
+                kk, fn = self._next()
+                if kk != "kw" or fn not in ("COUNT", "SUM", "MIN", "MAX", "AVG"):
+                    raise SparqlError(f"unknown aggregate {fn!r}")
+                self._expect_punct("(")
+                agg_distinct = False
+                if self._at_kw("DISTINCT"):
+                    self._next()
+                    agg_distinct = True
+                if self._at_punct("*"):
+                    self._next()
+                    arg = "*"
+                    if fn != "COUNT":
+                        raise SparqlError(f"{fn}(*) is not valid")
+                else:
+                    ak, av = self._next()
+                    if ak != "var":
+                        raise SparqlError(f"aggregate needs a variable, got {av!r}")
+                    arg = av.name
+                self._expect_punct(")")
+                self._expect_kw("AS")
+                nk, nv = self._next()
+                if nk != "var":
+                    raise SparqlError(f"AS needs a variable, got {nv!r}")
+                self._expect_punct(")")
+                projs.append(Projection(nv.name, fn, arg, agg_distinct))
+            else:
+                break
+        if not projs:
+            raise SparqlError("empty SELECT clause")
+        return projs
+
+    # ---- group ----------------------------------------------------------
+
+    def _parse_group(self) -> tuple:
+        self._expect_punct("{")
+        elements = []
+        while not self._at_punct("}"):
+            k, v = self._peek()
+            if k == "kw" and v in _REJECTED_KEYWORDS:
+                raise SparqlError(
+                    f"unsupported SPARQL feature {v}: use the DataFrame/SQL "
+                    "surface (plans/paths.py, plans/sql_surface.py) instead")
+            if self._at_kw("FILTER"):
+                self._next()
+                self._expect_punct("(")
+                elements.append(self._parse_expr())
+                self._expect_punct(")")
+            elif self._at_kw("OPTIONAL"):
+                self._next()
+                elements.append(OptionalBlock(self._parse_group()))
+            elif self._at_kw("GRAPH"):
+                self._next()
+                gk, gv = self._next()
+                if gk == "var":
+                    raise SparqlError(
+                        "variable GRAPH names are unsupported: name a "
+                        "rev:global/N | rev:additions/N | rev:deletions/N IRI")
+                if gk != "term" or not isinstance(gv, Iri):
+                    raise SparqlError(f"GRAPH needs an IRI, got {gv!r}")
+                m = _GRAPH_IRI_RE.match(gv.text)
+                if not m:
+                    raise SparqlError(
+                        f"unknown graph IRI {gv.text!r}: expected "
+                        "rev:global/N | rev:additions/N | rev:deletions/N")
+                elements.append(GraphBlock(_GRAPH_KIND[m.group(1)],
+                                           int(m.group(2)),
+                                           self._parse_group()))
+            elif self._at_punct("{"):
+                branches = [self._parse_group()]
+                while self._at_kw("UNION"):
+                    self._next()
+                    branches.append(self._parse_group())
+                if len(branches) > 1:
+                    elements.append(UnionBlock(tuple(branches)))
+                else:
+                    # plain nested group: SPARQL join semantics
+                    elements.extend(branches[0])
+            else:
+                elements.append(self._parse_triple())
+            if self._at_punct("."):
+                self._next()
+        self._expect_punct("}")
+        return tuple(elements)
+
+    def _parse_triple(self) -> Pattern:
+        terms = []
+        for _ in range(3):
+            k, v = self._next()
+            if k in ("var", "term"):
+                terms.append(v)
+            else:
+                raise SparqlError(f"bad triple pattern near {v!r}")
+        return Pattern(*terms)
+
+    def _parse_expr(self) -> FilterExpr:
+        if self._at_kw("REGEX"):
+            self._next()
+            self._expect_punct("(")
+            vk, vv = self._next()
+            if vk != "var":
+                raise SparqlError(f"regex() needs a variable, got {vv!r}")
+            self._expect_punct(",")
+            pk, pv = self._next()
+            if pk != "term" or not isinstance(pv, Lit):
+                raise SparqlError(f"regex() needs a string pattern, got {pv!r}")
+            self._expect_punct(")")
+            return FilterExpr(vv.name, "regex", pv)
+        vk, vv = self._next()
+        if vk != "var":
+            raise SparqlError(f"FILTER needs ?var <op> term, got {vv!r}")
+        ok, ov = self._next()
+        if ok != "punct" or ov not in ("=", "!=", "<", ">", "<=", ">="):
+            raise SparqlError(f"unsupported FILTER operator {ov!r}")
+        tk, tv = self._next()
+        if tk != "term":
+            raise SparqlError(f"FILTER term must be a constant, got {tv!r}")
+        return FilterExpr(vv.name, ov, tv)
+
+
+def parse(query: str) -> Query:
+    """Parse a SPARQL SELECT into the Query AST (raises SparqlError)."""
+    return _Parser(query).parse_query()
+
+
+# --------------------------------------------------------------------------
+# compiler
+# --------------------------------------------------------------------------
+
+_MAGIC_PREDICATES = {
+    # Vocabulary.java SCHEMA_*/HISTORY_* dispatch registry
+    "schema:about", "schema:author", "hist:author", "schema:dateCreated",
+    "schema:isBasedOn", "hist:previousRevision", "hist:nextRevision",
+    "hist:revisionId",
+}
+
+
+def _turn_iri(prefix="") -> F.Column:
+    return F.concat(F.lit("rev:"), F.col(prefix + "conv_id"), F.lit("/"),
+                    F.col(prefix + "turn_idx").cast("string"))
+
+
+class _Ctx:
+    def __init__(self, triples, ranges, turns, encode_const):
+        self.triples = triples
+        self.ranges = ranges
+        self.turns = turns
+        self.encode_const = encode_const
+        self._sources: dict = {}
+
+    def const(self, term):
+        if self.encode_const is not None:
+            return self.encode_const(term)
+        return string_form(term)
+
+    def source(self, graph):
+        """(subj, pred, obj) relation for the active graph context."""
+        key = graph or ("default",)
+        if key in self._sources:
+            return self._sources[key]
+        if graph is None:
+            if self.triples is None:
+                raise SparqlError(
+                    "pattern outside GRAPH needs a default-graph DataFrame")
+            df = self.triples.select("subj", "pred", "obj").distinct()
+        else:
+            if self.ranges is None:
+                raise SparqlError("GRAPH blocks need ranges= (the coalesced "
+                                  "validity-range table)")
+            kind, rev = graph
+            fn = {"state": views.state_at, "additions": views.additions_at,
+                  "deletions": views.deletions_at}[kind]
+            df = fn(self.ranges, rev).select("subj", "pred", "obj").distinct()
+        self._sources[key] = df
+        return df
+
+    def magic(self, pred: str):
+        """(subject, object) relation for a magic predicate
+        (RocksTripleSource.java:71-88 registry)."""
+        if self.turns is None:
+            raise SparqlError(
+                f"magic predicate {pred} needs turns= (the ordered turn "
+                "metadata table)")
+        t = self.turns
+        if pred == "schema:about":
+            return t.select(_turn_iri().alias("ms"),
+                            F.col("conv_id").alias("mo"))
+        if pred in ("schema:author", "hist:author"):
+            return t.select(_turn_iri().alias("ms"),
+                            F.col("role").alias("mo"))
+        if pred == "schema:dateCreated":
+            return t.select(
+                _turn_iri().alias("ms"),
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                .cast("string").alias("mo"))
+        if pred in ("schema:isBasedOn", "hist:previousRevision"):
+            return t.filter(F.col("parent_turn_idx").isNotNull()).select(
+                _turn_iri().alias("ms"),
+                F.concat(F.lit("rev:"), F.col("conv_id"), F.lit("/"),
+                         F.col("parent_turn_idx").cast("string")).alias("mo"))
+        if pred == "hist:nextRevision":
+            return t.filter(F.col("next_turn_idx") != LONG_MAX).select(
+                _turn_iri().alias("ms"),
+                F.concat(F.lit("rev:"), F.col("conv_id"), F.lit("/"),
+                         F.col("next_turn_idx").cast("string")).alias("mo"))
+        if pred == "hist:revisionId":
+            return t.select(_turn_iri().alias("ms"),
+                            F.col("turn_idx").cast("string").alias("mo"))
+        raise SparqlError(f"unknown magic predicate {pred}")
+
+
+def _compile_pattern(pat: Pattern, ctx: _Ctx, graph):
+    """→ (DataFrame with v_<name> columns, bound var set)."""
+    if (isinstance(pat.p, Iri) and pat.p.text in _MAGIC_PREDICATES):
+        if ctx.encode_const is not None:
+            raise SparqlError(
+                "magic predicates are not available on the encoded surface")
+        rel = ctx.magic(pat.p.text)
+        positions = [("ms", pat.s), ("mo", pat.o)]
+    else:
+        rel = ctx.source(graph)
+        positions = [("subj", pat.s), ("pred", pat.p), ("obj", pat.o)]
+
+    for col, term in positions:
+        if not isinstance(term, Var):
+            rel = rel.filter(F.col(col) == F.lit(ctx.const(term)))
+    keep: dict[str, str] = {}
+    cond = None
+    for col, term in positions:
+        if isinstance(term, Var):
+            if term.name in keep:   # repeated variable (?x p ?x): equality
+                c = F.col(keep[term.name]) == F.col(col)
+                cond = c if cond is None else (cond & c)
+            else:
+                keep[term.name] = col
+    if cond is not None:
+        rel = rel.filter(cond)
+    rel = rel.select(*[F.col(c).alias(f"v_{v}") for v, c in keep.items()])
+    return rel, set(keep)
+
+
+def _join(acc, bound, df, vs, how="inner"):
+    if acc is None:
+        if how != "inner":
+            raise SparqlError("OPTIONAL cannot be the first pattern in a group")
+        return df, set(vs)
+    on = [f"v_{v}" for v in bound & vs]
+    if on:
+        acc = acc.join(df, on, how)
+    elif how == "left":
+        acc = acc.join(df, F.lit(True), "left")
+    else:
+        acc = acc.crossJoin(df)
+    return acc, bound | vs
+
+
+def _filter_col(fe: FilterExpr, bound: set, ctx: _Ctx) -> F.Column:
+    if fe.var not in bound:
+        raise SparqlError(f"FILTER references unbound variable ?{fe.var}")
+    col = F.col(f"v_{fe.var}")
+    if fe.op == "regex":
+        return col.rlike(fe.term.lexical)
+    if ctx.encode_const is not None:
+        rhs = F.lit(ctx.const(fe.term))
+    elif fe.op in ("<", ">", "<=", ">=") and _is_numeric_const(fe.term):
+        col = col.cast("double")
+        rhs = F.lit(float(fe.term.lexical))
+    else:
+        rhs = F.lit(string_form(fe.term))
+    return {"=": col == rhs, "!=": col != rhs, "<": col < rhs,
+            ">": col > rhs, "<=": col <= rhs, ">=": col >= rhs}[fe.op]
+
+
+def _compile_group(group: tuple, ctx: _Ctx, graph=None):
+    acc, bound = None, set()
+    filters: list[FilterExpr] = []
+    for el in group:
+        if isinstance(el, FilterExpr):
+            filters.append(el)           # filters scope to the whole group
+        elif isinstance(el, Pattern):
+            df, vs = _compile_pattern(el, ctx, graph)
+            acc, bound = _join(acc, bound, df, vs)
+        elif isinstance(el, OptionalBlock):
+            df, vs = _compile_group(el.group, ctx, graph)
+            acc, bound = _join(acc, bound, df, vs, how="left")
+        elif isinstance(el, GraphBlock):
+            df, vs = _compile_group(el.group, ctx, (el.kind, el.rev))
+            acc, bound = _join(acc, bound, df, vs)
+        elif isinstance(el, UnionBlock):
+            branch_out = [_compile_group(b, ctx, graph) for b in el.branches]
+            u_vars = set().union(*[vs for _, vs in branch_out])
+            u = None
+            for bdf, bvs in branch_out:
+                for v in sorted(u_vars - bvs):   # NULL-pad disjoint vars
+                    bdf = bdf.withColumn(f"v_{v}", F.lit(None).cast("string"))
+                u = bdf if u is None else u.unionByName(bdf)
+            acc, bound = _join(acc, bound, u, u_vars)
+        else:  # pragma: no cover
+            raise SparqlError(f"unknown group element {el!r}")
+    if acc is None:
+        raise SparqlError("empty group pattern")
+    for fe in filters:
+        acc = acc.filter(_filter_col(fe, bound, ctx))
+    return acc, bound
+
+
+def evaluate(
+    triples: Opt[DataFrame],
+    query: str,
+    *,
+    ranges: Opt[DataFrame] = None,
+    turns: Opt[DataFrame] = None,
+    encode_const: Opt[Callable] = None,
+) -> DataFrame:
+    """Evaluate a SPARQL SELECT. `triples` is the default graph
+    (subj, pred, obj) — pass None when every pattern sits inside a
+    GRAPH block. `ranges` enables GRAPH temporal contexts, `turns`
+    enables magic predicates, `encode_const` converts constant terms
+    driver-side (ExprValueConverter analog) for encoded-graph inputs.
+    Returns one column per projected variable (multiset semantics —
+    SELECT DISTINCT dedups)."""
+    q = parse(query)
+    ctx = _Ctx(triples, ranges, turns, encode_const)
+    acc, bound = _compile_group(q.group, ctx)
+
+    if q.select is None:
+        if q.group_by:
+            raise SparqlError("GROUP BY requires an explicit SELECT list")
+        projs = [Projection(v) for v in sorted(bound)]
+    else:
+        projs = q.select
+
+    aggs = [p for p in projs if p.agg is not None]
+    plain_vars = [p.var for p in projs if p.agg is None]
+
+    if aggs or q.group_by:
+        missing = [v for v in q.group_by if v not in bound]
+        if missing:
+            raise SparqlError(f"GROUP BY references unbound variables: {missing}")
+        bad = [v for v in plain_vars if v not in q.group_by]
+        if bad:
+            raise SparqlError(
+                f"SELECT variables not in GROUP BY: {bad} — every plain "
+                "projection must be grouped")
+        for p in aggs:
+            if p.arg != "*" and p.arg not in bound:
+                raise SparqlError(
+                    f"aggregate references unbound variable ?{p.arg}")
+        agg_cols = []
+        for p in aggs:
+            if p.agg == "COUNT" and p.arg == "*":
+                c = F.count(F.lit(1))
+            else:
+                arg = F.col(f"v_{p.arg}")
+                if p.agg == "COUNT":
+                    c = (F.count_distinct(arg) if p.distinct else F.count(arg))
+                elif p.agg == "MIN":
+                    c = F.min(arg)
+                elif p.agg == "MAX":
+                    c = F.max(arg)
+                elif p.agg == "SUM":
+                    c = F.sum(arg.cast("double"))
+                else:  # AVG
+                    c = F.avg(arg.cast("double"))
+            if p.agg == "COUNT":
+                c = c.cast("long")
+            agg_cols.append(c.alias(f"v_{p.var}"))
+        acc = acc.groupBy(*[f"v_{v}" for v in q.group_by]).agg(*agg_cols)
+        bound = set(q.group_by) | {p.var for p in aggs}
+
+    out_vars = [p.var for p in projs]
+    missing = [v for v in out_vars if v not in bound]
     if missing:
         raise SparqlError(f"SELECT references unbound variables: {missing}")
-    acc = acc.select(*[F.col(f"v_{v}").alias(v) for v in out_vars]).distinct()
-    for var, _ in order:
-        if var not in seen_vars:
-            raise SparqlError(f"ORDER BY references unbound variable ?{var}")
+    acc = acc.select(*[F.col(f"v_{v}").alias(v) for v in out_vars])
+    if q.distinct:
+        acc = acc.distinct()
+    for var, _ in q.order:
         if var not in out_vars:
             raise SparqlError(
-                f"ORDER BY ?{var} must be among the selected variables"
-            )
-    if order:
-        acc = acc.orderBy(
-            *[
-                F.col(v).desc() if desc else F.col(v).asc()
-                for v, desc in order
-            ]
-        )
-    if limit is not None:
-        acc = acc.limit(limit)
+                f"ORDER BY ?{var} must be among the selected variables")
+    if q.order:
+        acc = acc.orderBy(*[F.col(v).desc() if d else F.col(v).asc()
+                            for v, d in q.order])
+    if q.limit is not None:
+        acc = acc.limit(q.limit)
     return acc
