@@ -2484,11 +2484,18 @@ def oracle_sql() -> dict[str, str]:
                      text || ' v' || (doc_id % 5)
               FROM documents
             ),
-            blk AS (
+            blk0 AS (
               SELECT doc_id, text,
                      substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
                             1, 40) AS blk
               FROM base
+            ),
+            -- formula twin of the empty-prefix filter + hot-block cap
+            blk AS (
+              SELECT * FROM blk0
+              WHERE length(trim(blk)) > 0
+                AND blk NOT IN (SELECT blk FROM blk0
+                                GROUP BY blk HAVING count(*) > 1000)
             )
             SELECT a.doc_id AS id1, b.doc_id AS id2,
                    CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist

@@ -307,8 +307,41 @@ def simhash_band_pairs(docs: DataFrame, band_bits: int = 16) -> DataFrame:
     )
 
 
+def _edit_blocks(docs: DataFrame, prefix_len: int) -> DataFrame:
+    """(doc_id, text, blk) with degenerate blocks removed: rows whose
+    normalized text is EMPTY or whitespace-only (all punctuation)
+    share no meaningful prefix and would collapse into one giant
+    block."""
+    return docs.select(
+        "doc_id",
+        "text",
+        F.substring(normalize_text(), 1, prefix_len).alias("blk"),
+    ).filter(F.length(F.trim(F.col("blk"))) > 0)
+
+
+def edit_distance_hot_blocks(
+    docs: DataFrame, prefix_len: int = 40, max_block_size: int = 1000
+) -> DataFrame:
+    """(blk, count) for the prefix blocks edit_distance_pairs DROPS.
+
+    Per the no-silent-caps rule: run this alongside
+    edit_distance_pairs and log/route its rows — each dropped block
+    is boilerplate-heavy content (thousands of docs opening with the
+    same template sentence) that needs a different dedup strategy
+    (ngram_jaccard_pairs / minhash, which shingle the WHOLE text)."""
+    return (
+        _edit_blocks(docs, prefix_len)
+        .groupBy("blk")
+        .count()
+        .filter(F.col("count") > max_block_size)
+    )
+
+
 def edit_distance_pairs(
-    docs: DataFrame, prefix_len: int = 40, max_dist: int = 8
+    docs: DataFrame,
+    prefix_len: int = 40,
+    max_dist: int = 8,
+    max_block_size: int | None = 1000,
 ) -> DataFrame:
     """Exact-edit-distance near-dup pairs, prefix-blocked.
 
@@ -316,18 +349,30 @@ def edit_distance_pairs(
     NORMALIZED-PREFIX blocking (docs sharing their first `prefix_len`
     normalized characters — near-identical docs with a tail edit land
     in one block), then exact Levenshtein re-ranks the candidates and
-    keeps pairs within `max_dist`. Never all-pairs: the join key is
-    the block, candidate volume is governed by block sizes, and the
-    O(len²) distance runs only on candidates. Levenshtein is a
-    built-in on BOTH engines (JVM `levenshtein`, DuckDB
-    `levenshtein`) with identical semantics, so the oracle is a
-    direct dual-engine twin — no planted invariant needed.
-    """
-    base = docs.select(
-        "doc_id",
-        "text",
-        F.substring(normalize_text(), 1, prefix_len).alias("blk"),
-    )
+    keeps pairs within `max_dist`. Levenshtein is a built-in on BOTH
+    engines (JVM `levenshtein`, DuckDB `levenshtein`) with identical
+    semantics, so the oracle is a direct dual-engine twin — no planted
+    invariant needed.
+
+    Candidate volume is bounded, not merely blocked: a block of
+    frequency f yields O(f²) Levenshtein pairs, so on boilerplate-heavy
+    corpora (many docs opening with the same template sentence) one
+    hot block would degenerate toward all-pairs. Blocks with more than
+    `max_block_size` members are DROPPED via a broadcast anti-join on
+    the (tiny by construction) hot set — the same join-skew guard as
+    ngram_jaccard_pairs' max_shingle_freq — and rows whose normalized
+    text is empty never enter a block at all. Dropped blocks are NOT
+    silent: enumerate them with edit_distance_hot_blocks(...) and
+    route that content to a whole-text strategy (n-gram Jaccard /
+    MinHash)."""
+    base = _edit_blocks(docs, prefix_len)
+    if max_block_size is not None:
+        hot = (
+            base.groupBy("blk")
+            .count()
+            .filter(F.col("count") > max_block_size)
+        )
+        base = base.join(F.broadcast(hot.select("blk")), "blk", "left_anti")
     a = base.selectExpr("doc_id AS id1", "text AS t1", "blk")
     b = base.selectExpr("doc_id AS id2", "text AS t2", "blk")
     return (
