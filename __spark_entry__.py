@@ -1005,6 +1005,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_sparql_typed"] = kg_sparql_typed
 
+    def kg_sparql_path(spark, sf):
+        # property path IN TEXT: bound-subject p+ compiles to the
+        # seeded frontier-BFS closure (PropertyPathOptimizer's
+        # ArbitraryLengthPath rewrite, seeded at the constant)
+        from wikidata_sparql_history_spark.plans import sparql
+
+        triples = (
+            _kg_ranges(spark, sf).select("subj", "pred", "obj").distinct()
+        )
+        return sparql.evaluate(
+            triples, "SELECT DISTINCT ?o WHERE { Q7 P0+ ?o }"
+        )
+
+    q["kg_sparql_path"] = kg_sparql_path
+
     def kg_entity_terms(spark, sf):
         # terms emission (RdfBuilder.java:205-217): per-entity
         # lang-tagged label/description/alias rows with BCP-47
@@ -1757,6 +1772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_optional", "kg_sparql_union",
         "kg_sparql_magic", "kg_sparql_count",
         "kg_sparql_filter_range", "kg_sparql_typed",
+        "kg_sparql_path",
         # changed this round
         "kg_sparql_state_at", "kg_sparql_join",
         "edit_distance_near_dup",
@@ -1774,7 +1790,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction", "dataset_split", "contamination_check",
         "quality_score", "language_id", "fingerprint_docs",
         "simhash_docs", "embedding_near_dup_pairs", "ann_ivf_recall",
-        "ann_lsh_recall", "agg_rollup_events", "media_feature_stats",
+        "ann_lsh_recall", "agg_rollup_events",
+        # (media_feature_stats rotates in next round — its binary
+        # plumbing is untouched since its r3-green row)
     ]
     missing = [k for k in head if k not in q]
     assert not missing, f"ordering references unknown queries: {missing}"
@@ -2005,6 +2023,17 @@ def oracle_sql() -> dict[str, str]:
            JOIN (SELECT subj FROM st WHERE pred = 'P0') p ON deg.subj = p.subj
            JOIN dictx d ON deg.subj = d.term
            WHERE deg.n * 12 + 3 >= 39""",
+        "kg_sparql_path": kg
+        + """, edges AS (
+             SELECT DISTINCT subj AS src, obj AS dst FROM ranges
+             WHERE pred = 'P0'
+           ),
+           reach AS (
+             SELECT src, dst FROM edges WHERE src = 'Q7'
+             UNION
+             SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+           )
+           SELECT DISTINCT dst AS o FROM reach""",
         "kg_sql_canonical_map": f"""
             WITH RECURSIVE aliases AS ({synth.alias_edges_sql()}),
             walk AS (

@@ -318,3 +318,72 @@ def test_unbound_filter_and_select_raise(spark):
 def test_bad_pattern_raises(spark):
     with pytest.raises(sparql.SparqlError, match="bad triple pattern"):
         sparql.evaluate(graph(spark), "SELECT ?s WHERE { ?s P1 }")
+
+
+# --- property paths in text ----------------------------------------------
+
+def path_graph(spark):
+    return spark.createDataFrame(
+        [
+            ("a", "P1", "b"), ("b", "P1", "c"), ("c", "P1", "d"),
+            ("a", "P2", "x"), ("x", "P3", "y"),
+            ("q", "P9", "a"),
+        ],
+        "subj string, pred string, obj string",
+    )
+
+
+def test_path_plus(spark):
+    q = "SELECT DISTINCT ?o WHERE { a P1+ ?o }"
+    assert rows(sparql.evaluate(path_graph(spark), q)) == {
+        ("b",), ("c",), ("d",)
+    }
+
+
+def test_path_star_includes_identity(spark):
+    q = "SELECT DISTINCT ?o WHERE { b P1* ?o }"
+    assert rows(sparql.evaluate(path_graph(spark), q)) == {
+        ("b",), ("c",), ("d",)
+    }
+
+
+def test_path_opt(spark):
+    q = "SELECT DISTINCT ?o WHERE { a P2? ?o }"
+    # zero-length (a itself) plus the one P2 edge
+    assert rows(sparql.evaluate(path_graph(spark), q)) == {("a",), ("x",)}
+
+
+def test_path_seq_and_alt(spark):
+    q = "SELECT DISTINCT ?o WHERE { a P2/P3 ?o }"
+    assert rows(sparql.evaluate(path_graph(spark), q)) == {("y",)}
+    q2 = "SELECT DISTINCT ?o WHERE { a (P1|P2) ?o }"
+    assert rows(sparql.evaluate(path_graph(spark), q2)) == {("b",), ("x",)}
+
+
+def test_path_inverse(spark):
+    q = "SELECT DISTINCT ?s WHERE { ?s ^P9 ?o }"
+    assert rows(sparql.evaluate(path_graph(spark), q)) == {("a",)}
+
+
+def test_path_negated_set(spark):
+    q = "SELECT DISTINCT ?s ?o WHERE { ?s !(P1|P9) ?o }"
+    assert rows(sparql.evaluate(path_graph(spark), q)) == {
+        ("a", "x"), ("x", "y")
+    }
+
+
+def test_path_join_with_bgp(spark):
+    # a path pattern joins other patterns on shared variables
+    q = "SELECT DISTINCT ?m ?o WHERE { q P9 ?m . ?m P1+ ?o }"
+    assert rows(sparql.evaluate(path_graph(spark), q)) == {
+        ("a", "b"), ("a", "c"), ("a", "d")
+    }
+
+
+def test_path_repeated_var_cycle(spark):
+    cyc = spark.createDataFrame(
+        [("a", "P1", "b"), ("b", "P1", "a"), ("c", "P1", "d")],
+        "subj string, pred string, obj string",
+    )
+    q = "SELECT DISTINCT ?x WHERE { ?x P1+ ?x }"
+    assert rows(sparql.evaluate(cyc, q)) == {("a",), ("b",)}

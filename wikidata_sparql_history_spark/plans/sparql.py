@@ -18,7 +18,11 @@ Grammar (ANSI-ish EBNF, keywords case-insensitive)::
     group    := '{' element* '}'
     element  := triple '.'? | FILTER '(' expr ')' | OPTIONAL group
               | GRAPH iri group | group (UNION group)+
-    triple   := term term term
+    triple   := term (?v | path) term
+    path     := pseq ('|' pseq)*          — alternative
+    pseq     := pelt ('/' pelt)*          — sequence
+    pelt     := ['^'] pprim ['+'|'*'|'?'] — inverse / closure / optional
+    pprim    := iri | '!' '(' iri ('|' iri)* ')' | '(' path ')'
     expr     := ?v ('='|'!='|'<'|'>'|'<='|'>=') term
               | REGEX '(' ?v ',' string ')'
     term     := ?v | <iri> | prefixed:name | bareword | number
@@ -62,11 +66,19 @@ Semantics notes (deviations from full SPARQL 1.1 are explicit):
   analog (sparql/ExprValueConverter.java:19-44): pass a callable
   Term → encoded value (e.g. dictionary id, or the typed_values
   id*12+tag inline composition for numerics).
+- Property paths in the predicate position compile to plans/paths.py
+  building blocks (the PropertyPathOptimizer.java:19-91 rewrites):
+  ``p+`` → frontier-BFS transitive_closure (with the bound-subject
+  seed rewrite when the subject is a constant), ``p*``/``p?`` add the
+  zero-length identity over the graph's subject∪object universe,
+  ``^p`` inverse, ``p1/p2`` sequence join, ``p1|p2`` union,
+  ``!(p1|p2)`` predicate-exclusion scan. Paths traverse the triple
+  store only — magic predicates are not addressable inside a path.
 - Joins on variables that may be unbound (after OPTIONAL/UNION) use
   strict NULL-rejecting equality, not SPARQL compatibility-join;
-  aggregates other than COUNT cast to double; no HAVING, no property
-  paths in text (use plans/paths.py), no subqueries, no BIND. Each
-  restriction is rejected loudly with the offending token named.
+  aggregates other than COUNT cast to double; no HAVING, no
+  subqueries, no BIND. Each restriction is rejected loudly with the
+  offending token named.
 """
 
 from __future__ import annotations
@@ -108,6 +120,47 @@ class Lit:
 
 
 Term = object  # Var | Iri | Lit
+
+
+# --- property paths (PropertyPathOptimizer.java:19-91 analogs) -----------
+
+@dataclass(frozen=True)
+class PathInverse:
+    p: object
+
+
+@dataclass(frozen=True)
+class PathSeq:
+    parts: tuple
+
+
+@dataclass(frozen=True)
+class PathAlt:
+    parts: tuple
+
+
+@dataclass(frozen=True)
+class PathPlus:
+    p: object
+
+
+@dataclass(frozen=True)
+class PathStar:
+    p: object
+
+
+@dataclass(frozen=True)
+class PathOpt:
+    p: object
+
+
+@dataclass(frozen=True)
+class PathNeg:
+    preds: tuple  # of Iri
+
+
+_PATH_NODES = (PathInverse, PathSeq, PathAlt, PathPlus, PathStar,
+               PathOpt, PathNeg)
 
 _NUMERIC_DATATYPES = {
     "xsd:integer", "xsd:decimal", "xsd:double", "xsd:long", "xsd:int",
@@ -197,7 +250,7 @@ _TOKEN_RE = re.compile(
     | \?(?P<var>\w+)
     | (?P<num>-?\d+(?:\.\d+)?)
     | (?P<word>[A-Za-z_][\w.-]*(?::[\w./-]+)?)
-    | (?P<punct>\{|\}|\(|\)|,|\.|\*|!=|<=|>=|=|<|>)
+    | (?P<punct>\{|\}|\(|\)|,|\.|\*|!=|<=|>=|=|<|>|\||/|\^|\+|!|\?)
     """,
     re.VERBOSE,
 )
@@ -428,14 +481,81 @@ class _Parser:
         return tuple(elements)
 
     def _parse_triple(self) -> Pattern:
-        terms = []
-        for _ in range(3):
-            k, v = self._next()
-            if k in ("var", "term"):
-                terms.append(v)
-            else:
-                raise SparqlError(f"bad triple pattern near {v!r}")
-        return Pattern(*terms)
+        sk, sv = self._next()
+        if sk not in ("var", "term"):
+            raise SparqlError(f"bad triple pattern near {sv!r}")
+        # predicate position: a variable, or a property-path expression
+        # (a bare IRI is the trivial one-element path)
+        if self._peek()[0] == "var":
+            pred = self._next()[1]
+        else:
+            pred = self._parse_path()
+        ok_, ov = self._next()
+        if ok_ not in ("var", "term"):
+            raise SparqlError(f"bad triple pattern near {ov!r}")
+        return Pattern(sv, pred, ov)
+
+    # ---- property paths (SPARQL 1.1 path grammar subset) ----------------
+
+    def _parse_path(self):
+        parts = [self._parse_path_seq()]
+        while self._at_punct("|"):
+            self._next()
+            parts.append(self._parse_path_seq())
+        return parts[0] if len(parts) == 1 else PathAlt(tuple(parts))
+
+    def _parse_path_seq(self):
+        parts = [self._parse_path_elt()]
+        while self._at_punct("/"):
+            self._next()
+            parts.append(self._parse_path_elt())
+        return parts[0] if len(parts) == 1 else PathSeq(tuple(parts))
+
+    def _parse_path_elt(self):
+        inverse = False
+        if self._at_punct("^"):
+            self._next()
+            inverse = True
+        p = self._parse_path_prim()
+        if self._at_punct("+"):
+            self._next()
+            p = PathPlus(p)
+        elif self._at_punct("*"):
+            self._next()
+            p = PathStar(p)
+        elif self._at_punct("?"):
+            self._next()
+            p = PathOpt(p)
+        if inverse:
+            p = PathInverse(p)
+        return p
+
+    def _parse_path_prim(self):
+        if self._at_punct("!"):
+            self._next()
+            self._expect_punct("(")
+            preds = []
+            while True:
+                k, v = self._next()
+                if k != "term" or not isinstance(v, Iri):
+                    raise SparqlError(
+                        f"negated property set needs IRIs, got {v!r}")
+                preds.append(v)
+                if self._at_punct("|"):
+                    self._next()
+                    continue
+                break
+            self._expect_punct(")")
+            return PathNeg(tuple(preds))
+        if self._at_punct("("):
+            self._next()
+            p = self._parse_path()
+            self._expect_punct(")")
+            return p
+        k, v = self._next()
+        if k == "term":
+            return v
+        raise SparqlError(f"bad path element near {v!r}")
 
     def _parse_expr(self) -> FilterExpr:
         if self._at_kw("REGEX"):
@@ -553,9 +673,79 @@ class _Ctx:
         raise SparqlError(f"unknown magic predicate {pred}")
 
 
+def _node_universe(g: DataFrame) -> DataFrame:
+    """Subject∪object terms — the zero-length identity domain for
+    p* / p? (SPARQL ZeroOrMore/ZeroOrOnePath over the active graph)."""
+    return (
+        g.select(F.col("subj").alias("node"))
+        .unionByName(g.select(F.col("obj").alias("node")))
+        .distinct()
+    )
+
+
+def _path_edges(p, g: DataFrame, ctx: _Ctx, seed=None) -> DataFrame:
+    """Compile a path expression to a (src, dst) relation over graph
+    `g` using plans/paths.py building blocks (the
+    PropertyPathOptimizer rewrites). `seed` (one-column src DataFrame)
+    applies the bound-subject rewrite to a top-level + or *."""
+    from . import paths
+
+    if isinstance(p, Iri):
+        return g.filter(F.col("pred") == F.lit(ctx.const(p))).select(
+            F.col("subj").alias("src"), F.col("obj").alias("dst")
+        )
+    if isinstance(p, PathInverse):
+        return paths.inverse_path(_path_edges(p.p, g, ctx))
+    if isinstance(p, PathSeq):
+        out = _path_edges(p.parts[0], g, ctx)
+        for part in p.parts[1:]:
+            out = paths.seq_path(out, _path_edges(part, g, ctx))
+        return out
+    if isinstance(p, PathAlt):
+        out = _path_edges(p.parts[0], g, ctx)
+        for part in p.parts[1:]:
+            out = paths.alt_path(out, _path_edges(part, g, ctx))
+        return out
+    if isinstance(p, PathPlus):
+        return paths.transitive_closure(
+            _path_edges(p.p, g, ctx), seeds=seed
+        )
+    if isinstance(p, PathStar):
+        return paths.zero_or_more(
+            _path_edges(p.p, g, ctx), nodes=_node_universe(g), seeds=seed
+        )
+    if isinstance(p, PathOpt):
+        return paths.zero_or_one(
+            _path_edges(p.p, g, ctx), nodes=_node_universe(g)
+        )
+    if isinstance(p, PathNeg):
+        return (
+            g.filter(
+                ~F.col("pred").isin([ctx.const(i) for i in p.preds])
+            )
+            .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+            .distinct()
+        )
+    raise SparqlError(f"unknown path node {p!r}")  # pragma: no cover
+
+
 def _compile_pattern(pat: Pattern, ctx: _Ctx, graph):
     """→ (DataFrame with v_<name> columns, bound var set)."""
-    if (isinstance(pat.p, Iri) and pat.p.text in _MAGIC_PREDICATES):
+    if isinstance(pat.p, _PATH_NODES):
+        g = ctx.source(graph)
+        seed = None
+        if not isinstance(pat.s, Var) and isinstance(
+            pat.p, (PathPlus, PathStar)
+        ):
+            # bound-subject rewrite: seed the closure at the constant
+            # (the "seed with one step" PropertyPathOptimizer rewrite)
+            seed = (
+                g.select(F.lit(ctx.const(pat.s)).alias("src"))
+                .limit(1)
+            )
+        rel = _path_edges(pat.p, g, ctx, seed=seed)
+        positions = [("src", pat.s), ("dst", pat.o)]
+    elif (isinstance(pat.p, Iri) and pat.p.text in _MAGIC_PREDICATES):
         if ctx.encode_const is not None:
             raise SparqlError(
                 "magic predicates are not available on the encoded surface")

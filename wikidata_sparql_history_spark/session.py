@@ -54,6 +54,9 @@ def get_spark(
         .config(
             "spark.task.cpus", os.environ.get("SPARK_GRAFT_TASK_CPUS", "1")
         )
+        # pin worker reuse explicitly (default true, but the scaling
+        # measurement depends on it: rep N must not respawn workers)
+        .config("spark.python.worker.reuse", "true")
         # Parquet scan tuning: 128 MB splits keep ~100k tasks for 100 TB.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.compression.codec", "zstd")
