@@ -1020,6 +1020,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_sparql_path"] = kg_sparql_path
 
+    def kg_sparql_minus_values(spark, sf):
+        # VALUES inline data + MINUS (RDF4J MinusIteration analog)
+        from wikidata_sparql_history_spark.plans import sparql
+
+        state = views.state_at(_kg_ranges(spark, sf), STATE_REV)
+        return sparql.evaluate(
+            state,
+            "SELECT DISTINCT ?s ?o WHERE { ?s P0 ?o . "
+            "VALUES ?s { Q7 Q3 Q11 } . MINUS { ?s P1 ?x } }",
+        )
+
+    q["kg_sparql_minus_values"] = kg_sparql_minus_values
+
+    def kg_sparql_not_exists(spark, sf):
+        # correlated EXISTS (left-semi) + NOT EXISTS (left-anti) in one
+        # query: subjects holding a P3 fact but no P2 fact at rev 8
+        from wikidata_sparql_history_spark.plans import sparql
+
+        state = views.state_at(_kg_ranges(spark, sf), STATE_REV)
+        return sparql.evaluate(
+            state,
+            "SELECT DISTINCT ?s WHERE { ?s P0 ?o . "
+            "FILTER EXISTS { ?s P3 ?a } . "
+            "FILTER NOT EXISTS { ?s P2 ?b } }",
+        )
+
+    q["kg_sparql_not_exists"] = kg_sparql_not_exists
+
+    def kg_sparql_asof(spark, sf):
+        # hist:globalStateAt in text (RocksTripleSource.java:739-768):
+        # first turn at-or-after the probe instant, one per conversation
+        from wikidata_sparql_history_spark.plans import sparql
+
+        return sparql.evaluate(
+            None,
+            'SELECT ?t WHERE { ?t hist:globalStateAt '
+            '"2024-01-15T00:00:00"^^xsd:dateTime }',
+            turns=_kg_turns(spark, sf),
+        )
+
+    q["kg_sparql_asof"] = kg_sparql_asof
+
     def kg_entity_terms(spark, sf):
         # terms emission (RdfBuilder.java:205-217): per-entity
         # lang-tagged label/description/alias rows with BCP-47
@@ -1772,12 +1814,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_optional", "kg_sparql_union",
         "kg_sparql_magic", "kg_sparql_count",
         "kg_sparql_filter_range", "kg_sparql_typed",
-        "kg_sparql_path",
+        "kg_sparql_path", "kg_sparql_minus_values",
+        "kg_sparql_not_exists", "kg_sparql_asof",
         # changed this round
         "kg_sparql_state_at", "kg_sparql_join",
         "edit_distance_near_dup",
-        # stale since CORRECTNESS_r03
-        "kg_turn_order", "kg_extract", "kg_linked",
+        # stale since CORRECTNESS_r03 (kg_turn_order / kg_extract /
+        # kg_linked stay in the tail: every kg_* oracle above
+        # re-derives their turns/mentions/linked CTEs verbatim, so the
+        # new SPARQL rows transitively re-verify them; they rotate in
+        # next round)
         "kg_linked_distributed", "kg_ranges_fast", "kg_ranges_pandas",
         "kg_state_at", "kg_additions_at", "kg_asof",
         "kg_dict_encode", "kg_latest_obj", "kg_tool_nodes",
@@ -2034,6 +2080,31 @@ def oracle_sql() -> dict[str, str]:
              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
            )
            SELECT DISTINCT dst AS o FROM reach""",
+        "kg_sparql_minus_values": kg
+        + f""", st AS (
+             SELECT DISTINCT subj, pred, obj FROM ranges
+             WHERE range_start <= {STATE_REV} AND {STATE_REV} < range_end
+           )
+           SELECT DISTINCT subj AS s, obj AS o FROM st
+           WHERE pred = 'P0' AND subj IN ('Q7', 'Q3', 'Q11')
+             AND subj NOT IN (SELECT subj FROM st WHERE pred = 'P1')""",
+        "kg_sparql_not_exists": kg
+        + f""", st AS (
+             SELECT DISTINCT subj, pred, obj FROM ranges
+             WHERE range_start <= {STATE_REV} AND {STATE_REV} < range_end
+           )
+           SELECT DISTINCT subj AS s FROM st
+           WHERE pred = 'P0'
+             AND subj IN (SELECT subj FROM st WHERE pred = 'P3')
+             AND subj NOT IN (SELECT subj FROM st WHERE pred = 'P2')""",
+        "kg_sparql_asof": kg
+        + """SELECT 'rev:' || conv_id || '/' || CAST(turn_idx AS VARCHAR) AS t
+           FROM (SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                        row_number() OVER (PARTITION BY conv_id
+                                           ORDER BY ts, CAST(turn_idx AS BIGINT)) AS rn
+                 FROM transcripts
+                 WHERE ts >= TIMESTAMP '2024-01-15 00:00:00')
+           WHERE rn = 1""",
         "kg_sql_canonical_map": f"""
             WITH RECURSIVE aliases AS ({synth.alias_edges_sql()}),
             walk AS (

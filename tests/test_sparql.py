@@ -297,10 +297,10 @@ def test_order_by_limit_topk(spark):
 
 
 def test_unsupported_feature_raises(spark):
-    with pytest.raises(sparql.SparqlError, match="MINUS"):
+    with pytest.raises(sparql.SparqlError, match="SERVICE"):
         sparql.evaluate(
             graph(spark),
-            "SELECT ?s WHERE { ?s P1 ?o . MINUS { ?s P0 ?s } }",
+            "SELECT ?s WHERE { ?s P1 ?o . SERVICE <x> { ?s P0 ?s } }",
         )
     with pytest.raises(sparql.SparqlError, match="BIND"):
         sparql.parse('SELECT ?s WHERE { ?s P1 ?o . BIND(1 AS ?x) }')
@@ -387,3 +387,58 @@ def test_path_repeated_var_cycle(spark):
     )
     q = "SELECT DISTINCT ?x WHERE { ?x P1+ ?x }"
     assert rows(sparql.evaluate(cyc, q)) == {("a",), ("b",)}
+
+
+# --- MINUS / EXISTS / VALUES / globalStateAt ------------------------------
+
+def test_minus_removes_shared_solutions(spark):
+    q = "SELECT DISTINCT ?s WHERE { ?s ?p ?o . MINUS { ?s P0 ?x } }"
+    # Q7 has a P0 self-loop and is removed; Q3/Q9 survive
+    assert rows(sparql.evaluate(graph(spark), q)) == {("Q3",), ("Q9",)}
+
+
+def test_minus_disjoint_vars_is_noop(spark):
+    q = "SELECT DISTINCT ?s WHERE { ?s P1 ?o . MINUS { ?a P0 ?b } }"
+    assert rows(sparql.evaluate(graph(spark), q)) == {("Q7",), ("Q9",)}
+
+
+def test_filter_exists_and_not_exists(spark):
+    q = ("SELECT DISTINCT ?s WHERE { ?s P1 ?o . "
+         "FILTER EXISTS { ?s P0 ?z } }")
+    assert rows(sparql.evaluate(graph(spark), q)) == {("Q7",)}
+    q2 = ("SELECT DISTINCT ?s WHERE { ?s P1 ?o . "
+          "FILTER NOT EXISTS { ?s P0 ?z } }")
+    assert rows(sparql.evaluate(graph(spark), q2)) == {("Q9",)}
+    with pytest.raises(sparql.SparqlError, match="shared"):
+        sparql.evaluate(
+            graph(spark),
+            "SELECT ?s WHERE { ?s P1 ?o . FILTER EXISTS { ?a P2 ?b } }",
+        )
+
+
+def test_values_single_and_multi(spark):
+    q = "SELECT DISTINCT ?s ?o WHERE { ?s P2 ?o . VALUES ?o { Q5 } }"
+    assert rows(sparql.evaluate(graph(spark), q)) == {("Q3", "Q5")}
+    q2 = ("SELECT ?s ?o WHERE { ?s ?p ?o . "
+          "VALUES (?s ?o) { (Q7 Q3) (Q3 Q6) } }")
+    assert rows(sparql.evaluate(graph(spark), q2)) == {
+        ("Q7", "Q3"), ("Q3", "Q6")
+    }
+
+
+def test_values_undef_is_unbound(spark):
+    q = "SELECT ?a ?b WHERE { VALUES (?a ?b) { (Q1 Q2) (Q3 UNDEF) } }"
+    assert rows(sparql.evaluate(graph(spark), q)) == {
+        ("Q1", "Q2"), ("Q3", None)
+    }
+
+
+def test_global_state_at_asof(spark):
+    t = turns(spark)
+    q = ('SELECT ?t WHERE { ?t hist:globalStateAt '
+         '"2024-01-01T00:00:05"^^xsd:dateTime }')
+    # first turn with ts >= probe per conversation: c1 turn 3 (00:00:10)
+    assert rows(sparql.evaluate(None, q, turns=t)) == {("rev:c1/3",)}
+    with pytest.raises(sparql.SparqlError, match="constant date"):
+        sparql.evaluate(
+            None, "SELECT ?t WHERE { ?t hist:globalStateAt ?d }", turns=t)

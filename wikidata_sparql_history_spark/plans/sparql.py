@@ -16,8 +16,11 @@ Grammar (ANSI-ish EBNF, keywords case-insensitive)::
     proj     := ?v | '(' AGG '(' [DISTINCT] (?v | '*') ')' AS ?v ')'
     AGG      := COUNT | SUM | MIN | MAX | AVG
     group    := '{' element* '}'
-    element  := triple '.'? | FILTER '(' expr ')' | OPTIONAL group
+    element  := triple '.'? | FILTER '(' expr ')'
+              | FILTER [NOT] EXISTS group
+              | OPTIONAL group | MINUS group
               | GRAPH iri group | group (UNION group)+
+              | VALUES (?v | '(' ?v+ ')') '{' (row | UNDEF)+ '}'
     triple   := term (?v | path) term
     path     := pseq ('|' pseq)*          — alternative
     pseq     := pelt ('/' pelt)*          — sequence
@@ -74,6 +77,14 @@ Semantics notes (deviations from full SPARQL 1.1 are explicit):
   ``^p`` inverse, ``p1/p2`` sequence join, ``p1|p2`` union,
   ``!(p1|p2)`` predicate-exclusion scan. Paths traverse the triple
   store only — magic predicates are not addressable inside a path.
+- MINUS → left-anti join on the shared variables (RDF4J
+  MinusIteration); with NO shared variables it removes nothing (SPARQL
+  MINUS semantics). FILTER EXISTS / NOT EXISTS → left-semi/left-anti
+  join, correlated on the shared variables (at least one required).
+  VALUES → an inline literal relation joined in (UNDEF → NULL).
+- hist:globalStateAt (RocksTripleSource.java:739-768): the subject
+  binds to the first turn at-or-after a constant ISO-dateTime object,
+  one per conversation (the W4 as-of lookup).
 - Joins on variables that may be unbound (after OPTIONAL/UNION) use
   strict NULL-rejecting equality, not SPARQL compatibility-join;
   aggregates other than COUNT cast to double; no HAVING, no
@@ -219,6 +230,23 @@ class UnionBlock:
 
 
 @dataclass(frozen=True)
+class MinusBlock:
+    group: tuple
+
+
+@dataclass(frozen=True)
+class ExistsExpr:
+    group: tuple
+    negated: bool
+
+
+@dataclass(frozen=True)
+class ValuesBlock:
+    names: tuple   # variable names
+    rows: tuple    # of tuples of (Term | None for UNDEF)
+
+
+@dataclass(frozen=True)
 class Projection:
     var: str                 # output name (agg alias or the variable)
     agg: Opt[str] = None     # COUNT/SUM/MIN/MAX/AVG, None for plain var
@@ -259,10 +287,9 @@ _KEYWORDS = {
     "SELECT", "DISTINCT", "WHERE", "FILTER", "OPTIONAL", "UNION", "GRAPH",
     "GROUP", "ORDER", "BY", "LIMIT", "AS", "DESC", "ASC", "REGEX",
     "COUNT", "SUM", "MIN", "MAX", "AVG", "MINUS", "HAVING", "BIND",
-    "VALUES", "EXISTS", "SERVICE", "OFFSET",
+    "VALUES", "EXISTS", "NOT", "UNDEF", "SERVICE", "OFFSET",
 }
-_REJECTED_KEYWORDS = {"MINUS", "HAVING", "BIND", "VALUES", "EXISTS",
-                      "SERVICE", "OFFSET"}
+_REJECTED_KEYWORDS = {"HAVING", "BIND", "SERVICE", "OFFSET"}
 
 
 def _tokenize(text: str):
@@ -440,12 +467,26 @@ class _Parser:
                     "surface (plans/paths.py, plans/sql_surface.py) instead")
             if self._at_kw("FILTER"):
                 self._next()
-                self._expect_punct("(")
-                elements.append(self._parse_expr())
-                self._expect_punct(")")
+                if self._at_kw("EXISTS"):
+                    self._next()
+                    elements.append(ExistsExpr(self._parse_group(), False))
+                elif self._at_kw("NOT"):
+                    self._next()
+                    self._expect_kw("EXISTS")
+                    elements.append(ExistsExpr(self._parse_group(), True))
+                else:
+                    self._expect_punct("(")
+                    elements.append(self._parse_expr())
+                    self._expect_punct(")")
             elif self._at_kw("OPTIONAL"):
                 self._next()
                 elements.append(OptionalBlock(self._parse_group()))
+            elif self._at_kw("MINUS"):
+                self._next()
+                elements.append(MinusBlock(self._parse_group()))
+            elif self._at_kw("VALUES"):
+                self._next()
+                elements.append(self._parse_values())
             elif self._at_kw("GRAPH"):
                 self._next()
                 gk, gv = self._next()
@@ -494,6 +535,49 @@ class _Parser:
         if ok_ not in ("var", "term"):
             raise SparqlError(f"bad triple pattern near {ov!r}")
         return Pattern(sv, pred, ov)
+
+    def _parse_values(self) -> ValuesBlock:
+        """VALUES ?x { t... } | VALUES (?x ?y) { (t t) ... }; UNDEF
+        yields an unbound (NULL) cell."""
+        multi = self._at_punct("(")
+        names = []
+        if multi:
+            self._next()
+            while self._peek()[0] == "var":
+                names.append(self._next()[1].name)
+            self._expect_punct(")")
+        else:
+            k, v = self._next()
+            if k != "var":
+                raise SparqlError(f"VALUES needs variables, got {v!r}")
+            names.append(v.name)
+        if not names:
+            raise SparqlError("VALUES needs at least one variable")
+        self._expect_punct("{")
+        rows = []
+        while not self._at_punct("}"):
+            if multi:
+                self._expect_punct("(")
+                row = []
+                for _ in names:
+                    row.append(self._parse_values_cell())
+                self._expect_punct(")")
+                rows.append(tuple(row))
+            else:
+                rows.append((self._parse_values_cell(),))
+        self._expect_punct("}")
+        if not rows:
+            raise SparqlError("VALUES needs at least one row")
+        return ValuesBlock(tuple(names), tuple(rows))
+
+    def _parse_values_cell(self):
+        if self._at_kw("UNDEF"):
+            self._next()
+            return None
+        k, v = self._next()
+        if k != "term":
+            raise SparqlError(f"VALUES cells must be constants, got {v!r}")
+        return v
 
     # ---- property paths (SPARQL 1.1 path grammar subset) ----------------
 
@@ -612,6 +696,13 @@ class _Ctx:
         self.encode_const = encode_const
         self._sources: dict = {}
 
+    @property
+    def spark(self):
+        for df in (self.triples, self.ranges, self.turns):
+            if df is not None:
+                return df.sparkSession
+        raise SparqlError("no DataFrame input to derive a SparkSession from")
+
     def const(self, term):
         if self.encode_const is not None:
             return self.encode_const(term)
@@ -729,9 +820,40 @@ def _path_edges(p, g: DataFrame, ctx: _Ctx, seed=None) -> DataFrame:
     raise SparqlError(f"unknown path node {p!r}")  # pragma: no cover
 
 
+def _datetime_const(t) -> "object":
+    """Parse a constant term as a naive datetime (ISO lexical form,
+    optionally ^^xsd:dateTime) for the as-of probe."""
+    from datetime import datetime
+
+    if isinstance(t, Lit):
+        try:
+            return datetime.fromisoformat(t.lexical)
+        except ValueError:
+            pass
+    raise SparqlError(
+        f"hist:globalStateAt needs an ISO dateTime constant, got {t!r}")
+
+
 def _compile_pattern(pat: Pattern, ctx: _Ctx, graph):
     """→ (DataFrame with v_<name> columns, bound var set)."""
-    if isinstance(pat.p, _PATH_NODES):
+    if isinstance(pat.p, Iri) and pat.p.text == "hist:globalStateAt":
+        # as-of dispatch (RocksTripleSource.java:739-768): subject
+        # binds to the first turn at-or-after the probe instant, one
+        # per conversation (W4 semantics); the object must be the
+        # constant date — an unbound probe would enumerate all instants
+        if ctx.turns is None:
+            raise SparqlError(
+                "magic predicate hist:globalStateAt needs turns= (the "
+                "ordered turn metadata table)")
+        if isinstance(pat.o, Var):
+            raise SparqlError(
+                "hist:globalStateAt needs a constant date object")
+        probe = _datetime_const(pat.o)
+        rel = views.global_state_at_ts(
+            ctx.turns.withColumn("ts", F.col("ts").cast("timestamp")), probe
+        ).select(_turn_iri().alias("ms"))
+        positions = [("ms", pat.s)]
+    elif isinstance(pat.p, _PATH_NODES):
         g = ctx.source(graph)
         seed = None
         if not isinstance(pat.s, Var) and isinstance(
@@ -809,7 +931,7 @@ def _compile_group(group: tuple, ctx: _Ctx, graph=None):
     acc, bound = None, set()
     filters: list[FilterExpr] = []
     for el in group:
-        if isinstance(el, FilterExpr):
+        if isinstance(el, (FilterExpr, ExistsExpr)):
             filters.append(el)           # filters scope to the whole group
         elif isinstance(el, Pattern):
             df, vs = _compile_pattern(el, ctx, graph)
@@ -817,6 +939,30 @@ def _compile_group(group: tuple, ctx: _Ctx, graph=None):
         elif isinstance(el, OptionalBlock):
             df, vs = _compile_group(el.group, ctx, graph)
             acc, bound = _join(acc, bound, df, vs, how="left")
+        elif isinstance(el, MinusBlock):
+            df, vs = _compile_group(el.group, ctx, graph)
+            on = [f"v_{v}" for v in bound & vs]
+            if acc is None:
+                raise SparqlError("MINUS cannot be the first pattern")
+            if on:
+                # RDF4J MinusIteration: drop solutions compatible with
+                # any right-side solution on the shared variables
+                acc = acc.join(
+                    df.select(*on).distinct(), on, "left_anti"
+                )
+            # no shared variables ⇒ nothing is compatible ⇒ no-op
+            # (SPARQL MINUS semantics, unlike NOT EXISTS)
+        elif isinstance(el, ValuesBlock):
+            cells = [
+                [None if c is None else ctx.const(c) for c in row]
+                for row in el.rows
+            ]
+            vdf = ctx.spark.createDataFrame(
+                cells, ", ".join(f"v_{n} string" for n in el.names)
+            ) if ctx.encode_const is None else ctx.spark.createDataFrame(
+                cells, ", ".join(f"v_{n} long" for n in el.names)
+            )
+            acc, bound = _join(acc, bound, vdf, set(el.names))
         elif isinstance(el, GraphBlock):
             df, vs = _compile_group(el.group, ctx, (el.kind, el.rev))
             acc, bound = _join(acc, bound, df, vs)
@@ -834,7 +980,17 @@ def _compile_group(group: tuple, ctx: _Ctx, graph=None):
     if acc is None:
         raise SparqlError("empty group pattern")
     for fe in filters:
-        acc = acc.filter(_filter_col(fe, bound, ctx))
+        if isinstance(fe, ExistsExpr):
+            df, vs = _compile_group(fe.group, ctx, graph)
+            on = [f"v_{v}" for v in bound & vs]
+            if not on:
+                raise SparqlError(
+                    "FILTER [NOT] EXISTS needs at least one variable "
+                    "shared with the outer group")
+            how = "left_anti" if fe.negated else "left_semi"
+            acc = acc.join(df.select(*on).distinct(), on, how)
+        else:
+            acc = acc.filter(_filter_col(fe, bound, ctx))
     return acc, bound
 
 
