@@ -1062,6 +1062,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_sparql_asof"] = kg_sparql_asof
 
+    def kg_sparql_bind_having(spark, sf):
+        # BIND (CONCAT) computed pre-aggregation + HAVING on a hidden
+        # aggregate column (not a SELECT alias)
+        from wikidata_sparql_history_spark.plans import sparql
+
+        state = views.state_at(_kg_ranges(spark, sf), STATE_REV)
+        return sparql.evaluate(
+            state,
+            'SELECT ?tag (COUNT(?o) AS ?n) WHERE { ?s P0 ?o . '
+            'BIND(CONCAT(?s, "@", "r8") AS ?tag) } '
+            'GROUP BY ?tag HAVING(COUNT(?o) >= 2)',
+        )
+
+    q["kg_sparql_bind_having"] = kg_sparql_bind_having
+
     def kg_entity_terms(spark, sf):
         # terms emission (RdfBuilder.java:205-217): per-entity
         # lang-tagged label/description/alias rows with BCP-47
@@ -1816,6 +1831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_filter_range", "kg_sparql_typed",
         "kg_sparql_path", "kg_sparql_minus_values",
         "kg_sparql_not_exists", "kg_sparql_asof",
+        "kg_sparql_bind_having",
         # changed this round
         "kg_sparql_state_at", "kg_sparql_join",
         "edit_distance_near_dup",
@@ -1836,7 +1852,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction", "dataset_split", "contamination_check",
         "quality_score", "language_id", "fingerprint_docs",
         "simhash_docs", "embedding_near_dup_pairs", "ann_ivf_recall",
-        "ann_lsh_recall", "agg_rollup_events",
+        "ann_lsh_recall",
+        # (agg_rollup_events rotates in next round with
+        # media_feature_stats — both r3-green, untouched)
         # (media_feature_stats rotates in next round — its binary
         # plumbing is untouched since its r3-green row)
     ]
@@ -2105,6 +2123,15 @@ def oracle_sql() -> dict[str, str]:
                  FROM transcripts
                  WHERE ts >= TIMESTAMP '2024-01-15 00:00:00')
            WHERE rn = 1""",
+        "kg_sparql_bind_having": kg
+        + f""", st AS (
+             SELECT DISTINCT subj, pred, obj FROM ranges
+             WHERE range_start <= {STATE_REV} AND {STATE_REV} < range_end
+           )
+           SELECT subj || '@' || 'r8' AS tag,
+                  CAST(count(obj) AS BIGINT) AS n
+           FROM st WHERE pred = 'P0'
+           GROUP BY subj HAVING count(obj) >= 2""",
         "kg_sql_canonical_map": f"""
             WITH RECURSIVE aliases AS ({synth.alias_edges_sql()}),
             walk AS (
@@ -2176,6 +2203,15 @@ def oracle_sql() -> dict[str, str]:
                       row_number() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS rn
                FROM turns WHERE ts >= TIMESTAMP '{ASOF_TS}')
              WHERE rn = 1""",
+        "kg_sparql_bind_having": kg
+        + f""", st AS (
+             SELECT DISTINCT subj, pred, obj FROM ranges
+             WHERE range_start <= {STATE_REV} AND {STATE_REV} < range_end
+           )
+           SELECT subj || '@' || 'r8' AS tag,
+                  CAST(count(obj) AS BIGINT) AS n
+           FROM st WHERE pred = 'P0'
+           GROUP BY subj HAVING count(obj) >= 2""",
         "kg_author_turns": kg
         + """SELECT conv_id, role,
                CAST(count(*) AS BIGINT) AS n_turns,
@@ -2554,6 +2590,15 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY ts DESC, event_id DESC) AS rn
               FROM events WHERE ts <= TIMESTAMP '{ASOF_TS}')
             WHERE rn = 1""",
+        "kg_sparql_bind_having": kg
+        + f""", st AS (
+             SELECT DISTINCT subj, pred, obj FROM ranges
+             WHERE range_start <= {STATE_REV} AND {STATE_REV} < range_end
+           )
+           SELECT subj || '@' || 'r8' AS tag,
+                  CAST(count(obj) AS BIGINT) AS n
+           FROM st WHERE pred = 'P0'
+           GROUP BY subj HAVING count(obj) >= 2""",
         "json_extract_events": """
             SELECT event_type,
                    CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)

@@ -292,7 +292,7 @@ def test_order_by_limit_topk(spark):
     )
     with pytest.raises(sparql.SparqlError, match="ORDER BY"):
         sparql.evaluate(
-            graph(spark), "SELECT ?s WHERE { ?s P2 ?o } ORDER BY ?o"
+            graph(spark), "SELECT ?s WHERE { ?s P2 ?o } ORDER BY ?zz"
         )
 
 
@@ -302,8 +302,8 @@ def test_unsupported_feature_raises(spark):
             graph(spark),
             "SELECT ?s WHERE { ?s P1 ?o . SERVICE <x> { ?s P0 ?s } }",
         )
-    with pytest.raises(sparql.SparqlError, match="BIND"):
-        sparql.parse('SELECT ?s WHERE { ?s P1 ?o . BIND(1 AS ?x) }')
+    with pytest.raises(sparql.SparqlError, match="OFFSET"):
+        sparql.parse('SELECT ?s WHERE { ?s P1 ?o . OFFSET 5 }')
 
 
 def test_unbound_filter_and_select_raise(spark):
@@ -442,3 +442,101 @@ def test_global_state_at_asof(spark):
     with pytest.raises(sparql.SparqlError, match="constant date"):
         sparql.evaluate(
             None, "SELECT ?t WHERE { ?t hist:globalStateAt ?d }", turns=t)
+
+
+# --- plan shape (100 TB claims) -------------------------------------------
+
+def test_sparql_constants_push_to_parquet_scan(spark, tmp_path):
+    """Constants in a pattern become scan-side equality filters: over a
+    WRITTEN table they must reach the parquet scan as PushedFilters —
+    the ExprValueConverter bind-before-join promise at the text
+    surface."""
+    p = str(tmp_path / "sparql_graph")
+    graph(spark).write.parquet(p)
+    df = spark.read.parquet(p)
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        plan = (
+            sparql.evaluate(df, "SELECT DISTINCT ?o WHERE { Q7 P1 ?o }")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+    scan = plan.split("FileScan parquet")[1]
+    pushed = scan.split("PushedFilters:")[1].splitlines()[0]
+    assert "EqualTo(subj,Q7)" in pushed, scan[:2000]
+    assert "EqualTo(pred,P1)" in pushed, scan[:2000]
+
+
+def test_sparql_count_has_partial_aggregate(spark):
+    """Grouped COUNT compiles to Spark's two-phase hash aggregate
+    (map-side partial + final) — the agg shuffles pre-combined rows,
+    not raw bindings."""
+    q = ("SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s P2 ?o } GROUP BY ?s")
+    plan = (
+        sparql.evaluate(graph(spark), q)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("HashAggregate") >= 2, plan[:1500]
+    assert "partial_count" in plan, plan[:1500]
+
+
+def test_sparql_not_exists_is_anti_join(spark):
+    q = ("SELECT ?s WHERE { ?s P1 ?o . "
+         "FILTER NOT EXISTS { ?s P0 ?z } }")
+    plan = (
+        sparql.evaluate(graph(spark), q)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftAnti" in plan, plan[:1500]
+
+
+# --- BIND / HAVING / ORDER BY on non-projected vars -----------------------
+
+def test_bind_concat_and_arith(spark):
+    q = ('SELECT ?s ?lab WHERE { ?s P2 ?o . '
+         'BIND(CONCAT(?s, "-", ?o) AS ?lab) }')
+    assert rows(sparql.evaluate(graph(spark), q)) == {
+        ("Q3", "Q3-Q5"), ("Q3", "Q3-Q6")
+    }
+    df = spark.createDataFrame(
+        [("a", "P9", "3"), ("b", "P9", "12")],
+        "subj string, pred string, obj string",
+    )
+    q2 = "SELECT ?s ?twice WHERE { ?s P9 ?v . BIND(?v * 2 AS ?twice) }"
+    assert rows(sparql.evaluate(df, q2)) == {("a", 6.0), ("b", 24.0)}
+
+
+def test_bind_errors(spark):
+    with pytest.raises(sparql.SparqlError, match="rebind"):
+        sparql.evaluate(
+            graph(spark),
+            "SELECT ?s WHERE { ?s P1 ?o . BIND(?s AS ?o) }")
+    with pytest.raises(sparql.SparqlError, match="unbound"):
+        sparql.evaluate(
+            graph(spark),
+            "SELECT ?s WHERE { ?s P1 ?o . BIND(?zz AS ?x) }")
+
+
+def test_having_alias_and_aggregate_forms(spark):
+    q = ("SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s ?p ?o } "
+         "GROUP BY ?s HAVING(?n >= 2)")
+    assert rows(sparql.evaluate(graph(spark), q)) == {("Q3", 2), ("Q7", 2)}
+    q2 = ("SELECT ?s WHERE { ?s ?p ?o } "
+          "GROUP BY ?s HAVING(COUNT(?o) < 2)")
+    assert rows(sparql.evaluate(graph(spark), q2)) == {("Q9",)}
+    with pytest.raises(sparql.SparqlError, match="HAVING requires"):
+        sparql.evaluate(graph(spark),
+                        "SELECT ?s WHERE { ?s P1 ?o } HAVING(?s > 1)")
+
+
+def test_order_by_non_projected_var(spark):
+    df = spark.createDataFrame(
+        [("a", "P9", "3"), ("b", "P9", "1"), ("c", "P9", "2")],
+        "subj string, pred string, obj string",
+    )
+    q = "SELECT ?s WHERE { ?s P9 ?v } ORDER BY ?v LIMIT 2"
+    assert [r.s for r in sparql.evaluate(df, q).collect()] == ["b", "c"]
+    with pytest.raises(sparql.SparqlError, match="DISTINCT"):
+        sparql.evaluate(
+            df, "SELECT DISTINCT ?s WHERE { ?s P9 ?v } ORDER BY ?v")

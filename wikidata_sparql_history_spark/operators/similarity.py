@@ -37,9 +37,26 @@ def with_cosine(pairs: DataFrame, left: str = "qvec", right: str = "embedding"):
     return pairs.withColumn("cosine", _dot(l, r) / (_norm(l) * _norm(r)))
 
 
+def _plan_row_bound(df: DataFrame) -> int | None:
+    """A conservative UPPER bound on the plan's row count from
+    Catalyst's sizeInBytes statistic (exact rowCount is rarely known
+    without CBO): no row is narrower than 8 bytes, so
+    rows <= sizeInBytes / 8. Lets the broadcast guard skip its count
+    job for small driver-local probe sets (round-4 verdict) while
+    still forcing the real check on anything plausibly large."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            return int(str(rc.get()))
+        return int(str(stats.sizeInBytes())) // 8
+    except Exception:
+        return None
+
+
 def cosine_topk(
     embeddings: DataFrame, queries: DataFrame, k: int = 5,
-    max_queries: int = 10_000,
+    max_queries: int = 10_000, check_bound: bool = True,
 ) -> DataFrame:
     """Exact top-k neighbors per query vector.
 
@@ -51,9 +68,19 @@ def cosine_topk(
     `max_queries` rows raises instead of silently shipping a giant
     broadcast (and an O(Q×N) cross product) to every executor — route
     large query sets through `ivf_topk` / `lsh_bucket_topk` instead.
-    The bound check reads at most max_queries+1 rows.
+    The bound check is free when Catalyst's statistics already bound
+    the row count under the cap; otherwise it runs a capped count job
+    reading at most max_queries+1 rows BEFORE the main job (one extra
+    synchronous action). Hot-path callers whose probe set is small by
+    construction may pass `check_bound=False` — the documented
+    precondition is then theirs to uphold (round-4 verdict).
     """
-    n_q = queries.limit(max_queries + 1).count()
+    if check_bound:
+        n_q = _plan_row_bound(queries)
+        if n_q is None or n_q > max_queries:
+            n_q = queries.limit(max_queries + 1).count()
+    else:
+        n_q = 0
     if n_q > max_queries:
         raise ValueError(
             f"cosine_topk: query side has > {max_queries} rows — the "

@@ -12,7 +12,8 @@ Grammar (ANSI-ish EBNF, keywords case-insensitive)::
 
     query    := SELECT [DISTINCT] proj+ | '*'
                 WHERE group
-                [GROUP BY ?v+] [ORDER BY (?v [DESC])+] [LIMIT n]
+                [GROUP BY ?v+] [HAVING '(' (AGG '(' ?v ')' | ?v) op num ')']*
+                [ORDER BY (?v [DESC])+] [LIMIT n]
     proj     := ?v | '(' AGG '(' [DISTINCT] (?v | '*') ')' AS ?v ')'
     AGG      := COUNT | SUM | MIN | MAX | AVG
     group    := '{' element* '}'
@@ -21,6 +22,9 @@ Grammar (ANSI-ish EBNF, keywords case-insensitive)::
               | OPTIONAL group | MINUS group
               | GRAPH iri group | group (UNION group)+
               | VALUES (?v | '(' ?v+ ')') '{' (row | UNDEF)+ '}'
+              | BIND '(' bexpr AS ?v ')'
+    bexpr    := CONCAT '(' operand (',' operand)* ')'
+              | operand [('+'|'-'|'*'|'/') operand]
     triple   := term (?v | path) term
     path     := pseq ('|' pseq)*          — alternative
     pseq     := pelt ('/' pelt)*          — sequence
@@ -85,10 +89,17 @@ Semantics notes (deviations from full SPARQL 1.1 are explicit):
 - hist:globalStateAt (RocksTripleSource.java:739-768): the subject
   binds to the first turn at-or-after a constant ISO-dateTime object,
   one per conversation (the W4 as-of lookup).
+- BIND supports the expression subset above (CONCAT, one arithmetic
+  op, var/constant copy) — numeric operands cast to double. HAVING
+  compares an aggregate (or its SELECT alias) against a numeric
+  constant; aggregate HAVING targets compile as hidden agg columns.
+  ORDER BY may reference non-projected variables (sorted before the
+  projection) except under DISTINCT, where order keys must be
+  projected.
 - Joins on variables that may be unbound (after OPTIONAL/UNION) use
   strict NULL-rejecting equality, not SPARQL compatibility-join;
-  aggregates other than COUNT cast to double; no HAVING, no
-  subqueries, no BIND. Each restriction is rejected loudly with the
+  aggregates other than COUNT cast to double; no subqueries, no
+  SERVICE, no OFFSET. Each restriction is rejected loudly with the
   offending token named.
 """
 
@@ -247,6 +258,12 @@ class ValuesBlock:
 
 
 @dataclass(frozen=True)
+class BindExpr:
+    var: str
+    expr: object   # Term | Var | ('op', left, right) | ('concat', args)
+
+
+@dataclass(frozen=True)
 class Projection:
     var: str                 # output name (agg alias or the variable)
     agg: Opt[str] = None     # COUNT/SUM/MIN/MAX/AVG, None for plain var
@@ -262,6 +279,7 @@ class Query:
     group_by: list = field(default_factory=list)
     order: list = field(default_factory=list)   # [(var, desc)]
     limit: Opt[int] = None
+    having: list = field(default_factory=list)  # [(Projection|var, op, num)]
 
 
 # --------------------------------------------------------------------------
@@ -278,7 +296,7 @@ _TOKEN_RE = re.compile(
     | \?(?P<var>\w+)
     | (?P<num>-?\d+(?:\.\d+)?)
     | (?P<word>[A-Za-z_][\w.-]*(?::[\w./-]+)?)
-    | (?P<punct>\{|\}|\(|\)|,|\.|\*|!=|<=|>=|=|<|>|\||/|\^|\+|!|\?)
+    | (?P<punct>\{|\}|\(|\)|,|\.|\*|!=|<=|>=|=|<|>|\||/|\^|\+|!|\?|-)
     """,
     re.VERBOSE,
 )
@@ -287,9 +305,10 @@ _KEYWORDS = {
     "SELECT", "DISTINCT", "WHERE", "FILTER", "OPTIONAL", "UNION", "GRAPH",
     "GROUP", "ORDER", "BY", "LIMIT", "AS", "DESC", "ASC", "REGEX",
     "COUNT", "SUM", "MIN", "MAX", "AVG", "MINUS", "HAVING", "BIND",
-    "VALUES", "EXISTS", "NOT", "UNDEF", "SERVICE", "OFFSET",
+    "VALUES", "EXISTS", "NOT", "UNDEF", "SERVICE", "OFFSET", "CONCAT",
 }
-_REJECTED_KEYWORDS = {"HAVING", "BIND", "SERVICE", "OFFSET"}
+_REJECTED_KEYWORDS = {"SERVICE", "OFFSET"}
+_AGG_FNS = ("COUNT", "SUM", "MIN", "MAX", "AVG")
 
 
 def _tokenize(text: str):
@@ -376,7 +395,7 @@ class _Parser:
         select = self._parse_projections()
         self._expect_kw("WHERE")
         group = self._parse_group()
-        group_by, order, limit = [], [], None
+        group_by, order, limit, having = [], [], None, []
         while True:
             if self._at_kw("GROUP"):
                 self._next()
@@ -385,6 +404,11 @@ class _Parser:
                     group_by.append(self._next()[1].name)
                 if not group_by:
                     raise SparqlError("GROUP BY needs at least one variable")
+            elif self._at_kw("HAVING"):
+                self._next()
+                self._expect_punct("(")
+                having.append(self._parse_having())
+                self._expect_punct(")")
             elif self._at_kw("ORDER"):
                 self._next()
                 self._expect_kw("BY")
@@ -409,7 +433,40 @@ class _Parser:
                 break
             else:
                 raise SparqlError(f"trailing tokens at {self._peek()[1]!r}")
-        return Query(distinct, select, group, group_by, order, limit)
+        return Query(distinct, select, group, group_by, order, limit, having)
+
+    def _parse_having(self):
+        """HAVING '(' (AGG '(' ?v|'*' ')' | ?v) op number ')'."""
+        k, v = self._peek()
+        if k == "kw" and v in _AGG_FNS:
+            self._next()
+            self._expect_punct("(")
+            agg_distinct = False
+            if self._at_kw("DISTINCT"):
+                self._next()
+                agg_distinct = True
+            if self._at_punct("*"):
+                self._next()
+                arg = "*"
+            else:
+                ak, av = self._next()
+                if ak != "var":
+                    raise SparqlError(
+                        f"HAVING aggregate needs a variable, got {av!r}")
+                arg = av.name
+            self._expect_punct(")")
+            target = Projection("", v, arg, agg_distinct)
+        elif k == "var":
+            target = self._next()[1].name
+        else:
+            raise SparqlError(f"bad HAVING target {v!r}")
+        ok_, ov = self._next()
+        if ok_ != "punct" or ov not in ("=", "!=", "<", ">", "<=", ">="):
+            raise SparqlError(f"unsupported HAVING operator {ov!r}")
+        tk, tv = self._next()
+        if tk != "term" or not _is_numeric_const(tv):
+            raise SparqlError(f"HAVING needs a numeric constant, got {tv!r}")
+        return (target, ov, float(tv.lexical))
 
     def _parse_projections(self):
         if self._at_punct("*"):
@@ -487,6 +544,16 @@ class _Parser:
             elif self._at_kw("VALUES"):
                 self._next()
                 elements.append(self._parse_values())
+            elif self._at_kw("BIND"):
+                self._next()
+                self._expect_punct("(")
+                expr = self._parse_bind_expr()
+                self._expect_kw("AS")
+                vk, vv = self._next()
+                if vk != "var":
+                    raise SparqlError(f"BIND ... AS needs a variable, got {vv!r}")
+                self._expect_punct(")")
+                elements.append(BindExpr(vv.name, expr))
             elif self._at_kw("GRAPH"):
                 self._next()
                 gk, gv = self._next()
@@ -569,6 +636,32 @@ class _Parser:
         if not rows:
             raise SparqlError("VALUES needs at least one row")
         return ValuesBlock(tuple(names), tuple(rows))
+
+    def _parse_bind_expr(self):
+        """BIND expression subset: CONCAT(args...), or operand
+        [(+|-|*|/) operand]; operands are variables or constants."""
+        if self._at_kw("CONCAT"):
+            self._next()
+            self._expect_punct("(")
+            args = [self._parse_bind_operand()]
+            while self._at_punct(","):
+                self._next()
+                args.append(self._parse_bind_operand())
+            self._expect_punct(")")
+            return ("concat", tuple(args))
+        left = self._parse_bind_operand()
+        k, v = self._peek()
+        if k == "punct" and v in ("+", "-", "*", "/"):
+            self._next()
+            right = self._parse_bind_operand()
+            return ("arith", v, left, right)
+        return left
+
+    def _parse_bind_operand(self):
+        k, v = self._next()
+        if k in ("var", "term"):
+            return v
+        raise SparqlError(f"bad BIND operand {v!r}")
 
     def _parse_values_cell(self):
         if self._at_kw("UNDEF"):
@@ -927,6 +1020,27 @@ def _filter_col(fe: FilterExpr, bound: set, ctx: _Ctx) -> F.Column:
             ">": col > rhs, "<=": col <= rhs, ">=": col >= rhs}[fe.op]
 
 
+def _bind_col(expr, bound: set, ctx: _Ctx) -> F.Column:
+    """Compile the BIND expression subset to a Column."""
+    def operand(t, numeric=False):
+        if isinstance(t, Var):
+            if t.name not in bound:
+                raise SparqlError(f"BIND references unbound variable ?{t.name}")
+            c = F.col(f"v_{t.name}")
+            return c.cast("double") if numeric else c
+        if _is_numeric_const(t):
+            return F.lit(float(t.lexical)) if numeric else F.lit(t.lexical)
+        return F.lit(string_form(t))
+
+    if isinstance(expr, tuple) and expr[0] == "concat":
+        return F.concat(*[operand(a).cast("string") for a in expr[1]])
+    if isinstance(expr, tuple) and expr[0] == "arith":
+        _, op, l, r = expr
+        lc, rc = operand(l, numeric=True), operand(r, numeric=True)
+        return {"+": lc + rc, "-": lc - rc, "*": lc * rc, "/": lc / rc}[op]
+    return operand(expr)
+
+
 def _compile_group(group: tuple, ctx: _Ctx, graph=None):
     acc, bound = None, set()
     filters: list[FilterExpr] = []
@@ -952,6 +1066,13 @@ def _compile_group(group: tuple, ctx: _Ctx, graph=None):
                 )
             # no shared variables ⇒ nothing is compatible ⇒ no-op
             # (SPARQL MINUS semantics, unlike NOT EXISTS)
+        elif isinstance(el, BindExpr):
+            if acc is None:
+                raise SparqlError("BIND cannot be the first element")
+            if el.var in bound:
+                raise SparqlError(f"BIND would rebind ?{el.var}")
+            acc = acc.withColumn(f"v_{el.var}", _bind_col(el.expr, bound, ctx))
+            bound = bound | {el.var}
         elif isinstance(el, ValuesBlock):
             cells = [
                 [None if c is None else ctx.const(c) for c in row]
@@ -994,6 +1115,26 @@ def _compile_group(group: tuple, ctx: _Ctx, graph=None):
     return acc, bound
 
 
+def _agg_col(p: Projection) -> F.Column:
+    if p.agg == "COUNT" and p.arg == "*":
+        c = F.count(F.lit(1))
+    else:
+        arg = F.col(f"v_{p.arg}")
+        if p.agg == "COUNT":
+            c = F.count_distinct(arg) if p.distinct else F.count(arg)
+        elif p.agg == "MIN":
+            c = F.min(arg)
+        elif p.agg == "MAX":
+            c = F.max(arg)
+        elif p.agg == "SUM":
+            c = F.sum(arg.cast("double"))
+        else:  # AVG
+            c = F.avg(arg.cast("double"))
+    if p.agg == "COUNT":
+        c = c.cast("long")
+    return c.alias(f"v_{p.var}")
+
+
 def evaluate(
     triples: Opt[DataFrame],
     query: str,
@@ -1032,46 +1173,58 @@ def evaluate(
             raise SparqlError(
                 f"SELECT variables not in GROUP BY: {bad} — every plain "
                 "projection must be grouped")
-        for p in aggs:
+        hidden = [
+            Projection(f"__h{i}", t.agg, t.arg, t.distinct)
+            for i, (t, _, _) in enumerate(q.having)
+            if isinstance(t, Projection)
+        ]
+        for p in aggs + hidden:
             if p.arg != "*" and p.arg not in bound:
                 raise SparqlError(
                     f"aggregate references unbound variable ?{p.arg}")
-        agg_cols = []
-        for p in aggs:
-            if p.agg == "COUNT" and p.arg == "*":
-                c = F.count(F.lit(1))
-            else:
-                arg = F.col(f"v_{p.arg}")
-                if p.agg == "COUNT":
-                    c = (F.count_distinct(arg) if p.distinct else F.count(arg))
-                elif p.agg == "MIN":
-                    c = F.min(arg)
-                elif p.agg == "MAX":
-                    c = F.max(arg)
-                elif p.agg == "SUM":
-                    c = F.sum(arg.cast("double"))
-                else:  # AVG
-                    c = F.avg(arg.cast("double"))
-            if p.agg == "COUNT":
-                c = c.cast("long")
-            agg_cols.append(c.alias(f"v_{p.var}"))
+        agg_cols = [_agg_col(p) for p in aggs + hidden]
         acc = acc.groupBy(*[f"v_{v}" for v in q.group_by]).agg(*agg_cols)
-        bound = set(q.group_by) | {p.var for p in aggs}
+        bound = set(q.group_by) | {p.var for p in aggs + hidden}
+        for i, (target, op, val) in enumerate(q.having):
+            name = f"__h{i}" if isinstance(target, Projection) else target
+            if name not in bound:
+                raise SparqlError(
+                    f"HAVING references unbound variable ?{name}")
+            col = F.col(f"v_{name}").cast("double")
+            acc = acc.filter(
+                {"=": col == val, "!=": col != val, "<": col < val,
+                 ">": col > val, "<=": col <= val, ">=": col >= val}[op]
+            )
+    elif q.having:
+        raise SparqlError("HAVING requires GROUP BY or an aggregate SELECT")
 
     out_vars = [p.var for p in projs]
     missing = [v for v in out_vars if v not in bound]
     if missing:
         raise SparqlError(f"SELECT references unbound variables: {missing}")
-    acc = acc.select(*[F.col(f"v_{v}").alias(v) for v in out_vars])
-    if q.distinct:
-        acc = acc.distinct()
     for var, _ in q.order:
-        if var not in out_vars:
+        if var not in bound:
+            raise SparqlError(f"ORDER BY references unbound variable ?{var}")
+        if q.distinct and var not in out_vars:
             raise SparqlError(
-                f"ORDER BY ?{var} must be among the selected variables")
-    if q.order:
-        acc = acc.orderBy(*[F.col(v).desc() if d else F.col(v).asc()
-                            for v, d in q.order])
+                f"ORDER BY ?{var} must be selected when DISTINCT is used")
+    if q.distinct:
+        acc = acc.select(*[F.col(f"v_{v}").alias(v) for v in out_vars])
+        acc = acc.distinct()
+        if q.order:
+            acc = acc.orderBy(*[F.col(v).desc() if d else F.col(v).asc()
+                                for v, d in q.order])
+    else:
+        # ORDER BY may reference non-projected variables: sort on the
+        # internal columns BEFORE the projection (SPARQL visible-var
+        # ordering); Limit(Project(Sort)) still fuses to
+        # TakeOrderedAndProject
+        if q.order:
+            acc = acc.orderBy(*[
+                F.col(f"v_{v}").desc() if d else F.col(f"v_{v}").asc()
+                for v, d in q.order
+            ])
+        acc = acc.select(*[F.col(f"v_{v}").alias(v) for v in out_vars])
     if q.limit is not None:
         acc = acc.limit(q.limit)
     return acc
