@@ -1077,6 +1077,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_sparql_bind_having"] = kg_sparql_bind_having
 
+    # query forms beyond SELECT (HistoryRepository.java:115-142 serves
+    # Tuple/Boolean/Graph queries alike through the same preparer)
+    def kg_sparql_ask(spark, sf):
+        from wikidata_sparql_history_spark.plans import sparql
+
+        state = views.state_at(_kg_ranges(spark, sf), STATE_REV)
+        return sparql.evaluate(state, "ASK { Q7 P0 ?o }")
+
+    q["kg_sparql_ask"] = kg_sparql_ask
+
+    def kg_sparql_construct(spark, sf):
+        from wikidata_sparql_history_spark.plans import sparql
+
+        state = views.state_at(_kg_ranges(spark, sf), STATE_REV)
+        return sparql.evaluate(
+            state,
+            "CONSTRUCT { ?o rdf:linkedFrom ?s . ?s rdf:type kg:Entity } "
+            "WHERE { ?s P0 ?o }",
+        )
+
+    q["kg_sparql_construct"] = kg_sparql_construct
+
+    def kg_sparql_describe(spark, sf):
+        from wikidata_sparql_history_spark.plans import sparql
+
+        state = views.state_at(_kg_ranges(spark, sf), STATE_REV)
+        return sparql.evaluate(state, "DESCRIBE Q7")
+
+    q["kg_sparql_describe"] = kg_sparql_describe
+
     def kg_entity_terms(spark, sf):
         # terms emission (RdfBuilder.java:205-217): per-entity
         # lang-tagged label/description/alias rows with BCP-47
@@ -1831,7 +1861,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_filter_range", "kg_sparql_typed",
         "kg_sparql_path", "kg_sparql_minus_values",
         "kg_sparql_not_exists", "kg_sparql_asof",
-        "kg_sparql_bind_having",
+        "kg_sparql_bind_having", "kg_sparql_ask",
+        "kg_sparql_construct", "kg_sparql_describe",
         # changed this round
         "kg_sparql_state_at", "kg_sparql_join",
         "edit_distance_near_dup",
@@ -1851,10 +1882,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs_fast", "token_stats", "bpe_token_stats",
         "pii_redaction", "dataset_split", "contamination_check",
         "quality_score", "language_id", "fingerprint_docs",
-        "simhash_docs", "embedding_near_dup_pairs", "ann_ivf_recall",
-        "ann_lsh_recall",
-        # (agg_rollup_events rotates in next round with
-        # media_feature_stats — both r3-green, untouched)
+        "embedding_near_dup_pairs",
+        # (agg_rollup_events / media_feature_stats / simhash_docs /
+        # ann_ivf_recall / ann_lsh_recall rotate in next round — all
+        # r3-green planted-invariant gates, modules untouched)
         # (media_feature_stats rotates in next round — its binary
         # plumbing is untouched since its r3-green row)
     ]
@@ -2132,6 +2163,25 @@ def oracle_sql() -> dict[str, str]:
                   CAST(count(obj) AS BIGINT) AS n
            FROM st WHERE pred = 'P0'
            GROUP BY subj HAVING count(obj) >= 2""",
+        "kg_sparql_ask": kg
+        + f"""SELECT count(*) > 0 AS ask FROM (
+             SELECT DISTINCT subj, pred, obj FROM ranges
+             WHERE range_start <= {STATE_REV} AND {STATE_REV} < range_end
+           ) WHERE subj = 'Q7' AND pred = 'P0'""",
+        "kg_sparql_construct": kg
+        + f""", st AS (
+             SELECT DISTINCT subj, pred, obj FROM ranges
+             WHERE range_start <= {STATE_REV} AND {STATE_REV} < range_end
+           )
+           SELECT DISTINCT subj, pred, obj FROM (
+             SELECT obj AS subj, 'rdf:linkedFrom' AS pred, subj AS obj
+             FROM st WHERE pred = 'P0'
+             UNION ALL
+             SELECT subj, 'rdf:type', 'kg:Entity' FROM st WHERE pred = 'P0')""",
+        "kg_sparql_describe": kg
+        + f"""SELECT DISTINCT subj, pred, obj FROM ranges
+           WHERE range_start <= {STATE_REV} AND {STATE_REV} < range_end
+             AND (subj = 'Q7' OR obj = 'Q7')""",
         "kg_sql_canonical_map": f"""
             WITH RECURSIVE aliases AS ({synth.alias_edges_sql()}),
             walk AS (
@@ -2212,6 +2262,25 @@ def oracle_sql() -> dict[str, str]:
                   CAST(count(obj) AS BIGINT) AS n
            FROM st WHERE pred = 'P0'
            GROUP BY subj HAVING count(obj) >= 2""",
+        "kg_sparql_ask": kg
+        + f"""SELECT count(*) > 0 AS ask FROM (
+             SELECT DISTINCT subj, pred, obj FROM ranges
+             WHERE range_start <= {STATE_REV} AND {STATE_REV} < range_end
+           ) WHERE subj = 'Q7' AND pred = 'P0'""",
+        "kg_sparql_construct": kg
+        + f""", st AS (
+             SELECT DISTINCT subj, pred, obj FROM ranges
+             WHERE range_start <= {STATE_REV} AND {STATE_REV} < range_end
+           )
+           SELECT DISTINCT subj, pred, obj FROM (
+             SELECT obj AS subj, 'rdf:linkedFrom' AS pred, subj AS obj
+             FROM st WHERE pred = 'P0'
+             UNION ALL
+             SELECT subj, 'rdf:type', 'kg:Entity' FROM st WHERE pred = 'P0')""",
+        "kg_sparql_describe": kg
+        + f"""SELECT DISTINCT subj, pred, obj FROM ranges
+           WHERE range_start <= {STATE_REV} AND {STATE_REV} < range_end
+             AND (subj = 'Q7' OR obj = 'Q7')""",
         "kg_author_turns": kg
         + """SELECT conv_id, role,
                CAST(count(*) AS BIGINT) AS n_turns,
@@ -2599,6 +2668,25 @@ def oracle_sql() -> dict[str, str]:
                   CAST(count(obj) AS BIGINT) AS n
            FROM st WHERE pred = 'P0'
            GROUP BY subj HAVING count(obj) >= 2""",
+        "kg_sparql_ask": kg
+        + f"""SELECT count(*) > 0 AS ask FROM (
+             SELECT DISTINCT subj, pred, obj FROM ranges
+             WHERE range_start <= {STATE_REV} AND {STATE_REV} < range_end
+           ) WHERE subj = 'Q7' AND pred = 'P0'""",
+        "kg_sparql_construct": kg
+        + f""", st AS (
+             SELECT DISTINCT subj, pred, obj FROM ranges
+             WHERE range_start <= {STATE_REV} AND {STATE_REV} < range_end
+           )
+           SELECT DISTINCT subj, pred, obj FROM (
+             SELECT obj AS subj, 'rdf:linkedFrom' AS pred, subj AS obj
+             FROM st WHERE pred = 'P0'
+             UNION ALL
+             SELECT subj, 'rdf:type', 'kg:Entity' FROM st WHERE pred = 'P0')""",
+        "kg_sparql_describe": kg
+        + f"""SELECT DISTINCT subj, pred, obj FROM ranges
+           WHERE range_start <= {STATE_REV} AND {STATE_REV} < range_end
+             AND (subj = 'Q7' OR obj = 'Q7')""",
         "json_extract_events": """
             SELECT event_type,
                    CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)

@@ -540,3 +540,43 @@ def test_order_by_non_projected_var(spark):
     with pytest.raises(sparql.SparqlError, match="DISTINCT"):
         sparql.evaluate(
             df, "SELECT DISTINCT ?s WHERE { ?s P9 ?v } ORDER BY ?v")
+
+
+# --- ASK / CONSTRUCT / DESCRIBE / OFFSET ----------------------------------
+
+def test_ask_true_false(spark):
+    assert rows(sparql.evaluate(graph(spark), "ASK { Q7 P0 ?o }")) == {
+        (True,)
+    }
+    assert rows(sparql.evaluate(graph(spark), "ASK WHERE { Q5 ?p ?o }")) == {
+        (False,)
+    }
+
+
+def test_construct_template(spark):
+    q = ("CONSTRUCT { ?o cameFrom ?s . ?s kind thing } "
+         "WHERE { ?s P2 ?o }")
+    out = sparql.evaluate(graph(spark), q)
+    assert out.columns == ["subj", "pred", "obj"]
+    assert rows(out) == {
+        ("Q5", "cameFrom", "Q3"), ("Q6", "cameFrom", "Q3"),
+        ("Q3", "kind", "thing"),
+    }
+
+
+def test_describe_resource(spark):
+    out = sparql.evaluate(graph(spark), "DESCRIBE Q3")
+    assert rows(out) == {
+        ("Q7", "P1", "Q3"), ("Q3", "P2", "Q5"),
+        ("Q3", "P2", "Q6"), ("Q9", "P1", "Q3"),
+    }
+
+
+def test_limit_offset_slice(spark):
+    df = spark.createDataFrame(
+        [("a", "P9", "1"), ("b", "P9", "2"), ("c", "P9", "3"),
+         ("d", "P9", "4")],
+        "subj string, pred string, obj string",
+    )
+    q = "SELECT ?s WHERE { ?s P9 ?v } ORDER BY ?v LIMIT 2 OFFSET 1"
+    assert [r.s for r in sparql.evaluate(df, q).collect()] == ["b", "c"]

@@ -13,7 +13,10 @@ Grammar (ANSI-ish EBNF, keywords case-insensitive)::
     query    := SELECT [DISTINCT] proj+ | '*'
                 WHERE group
                 [GROUP BY ?v+] [HAVING '(' (AGG '(' ?v ')' | ?v) op num ')']*
-                [ORDER BY (?v [DESC])+] [LIMIT n]
+                [ORDER BY (?v [DESC])+] [LIMIT n] [OFFSET n]
+              | ASK [WHERE] group
+              | CONSTRUCT '{' triple+ '}' WHERE group [LIMIT n]
+              | DESCRIBE constant
     proj     := ?v | '(' AGG '(' [DISTINCT] (?v | '*') ')' AS ?v ')'
     AGG      := COUNT | SUM | MIN | MAX | AVG
     group    := '{' element* '}'
@@ -96,11 +99,16 @@ Semantics notes (deviations from full SPARQL 1.1 are explicit):
   ORDER BY may reference non-projected variables (sorted before the
   projection) except under DISTINCT, where order keys must be
   projected.
+- Query forms: SELECT, ASK (one lazy boolean row `ask`), CONSTRUCT
+  (template instantiation, DISTINCT per RDF set semantics, default
+  graph constants via encode_const too) and DESCRIBE <const> (all
+  default-graph triples mentioning the resource). LIMIT/OFFSET slice
+  the solution sequence (OFFSET deterministic only under ORDER BY).
 - Joins on variables that may be unbound (after OPTIONAL/UNION) use
   strict NULL-rejecting equality, not SPARQL compatibility-join;
   aggregates other than COUNT cast to double; no subqueries, no
-  SERVICE, no OFFSET. Each restriction is rejected loudly with the
-  offending token named.
+  SERVICE. Each restriction is rejected loudly with the offending
+  token named.
 """
 
 from __future__ import annotations
@@ -280,6 +288,24 @@ class Query:
     order: list = field(default_factory=list)   # [(var, desc)]
     limit: Opt[int] = None
     having: list = field(default_factory=list)  # [(Projection|var, op, num)]
+    offset: Opt[int] = None
+
+
+@dataclass(frozen=True)
+class AskQuery:
+    group: tuple
+
+
+@dataclass(frozen=True)
+class ConstructQuery:
+    template: tuple  # of Pattern (constants allowed anywhere)
+    group: tuple
+    limit: Opt[int] = None
+
+
+@dataclass(frozen=True)
+class DescribeQuery:
+    term: object     # constant Iri/Lit to describe
 
 
 # --------------------------------------------------------------------------
@@ -306,6 +332,7 @@ _KEYWORDS = {
     "GROUP", "ORDER", "BY", "LIMIT", "AS", "DESC", "ASC", "REGEX",
     "COUNT", "SUM", "MIN", "MAX", "AVG", "MINUS", "HAVING", "BIND",
     "VALUES", "EXISTS", "NOT", "UNDEF", "SERVICE", "OFFSET", "CONCAT",
+    "ASK", "CONSTRUCT", "DESCRIBE",
 }
 _REJECTED_KEYWORDS = {"SERVICE", "OFFSET"}
 _AGG_FNS = ("COUNT", "SUM", "MIN", "MAX", "AVG")
@@ -386,7 +413,37 @@ class _Parser:
 
     # ---- query ----------------------------------------------------------
 
-    def parse_query(self) -> Query:
+    def parse_query(self):
+        k, v = self._peek()
+        if k == "kw" and v == "ASK":
+            self._next()
+            if self._at_kw("WHERE"):
+                self._next()
+            g = self._parse_group()
+            self._expect_end()
+            return AskQuery(g)
+        if k == "kw" and v == "CONSTRUCT":
+            self._next()
+            tmpl = self._parse_template()
+            self._expect_kw("WHERE")
+            g = self._parse_group()
+            limit = None
+            if self._at_kw("LIMIT"):
+                self._next()
+                lk, lv = self._next()
+                if lk != "term" or not lv.lexical.isdigit():
+                    raise SparqlError(f"LIMIT needs an integer, got {lv!r}")
+                limit = int(lv.lexical)
+            self._expect_end()
+            return ConstructQuery(tmpl, g, limit)
+        if k == "kw" and v == "DESCRIBE":
+            self._next()
+            tk, tv = self._next()
+            if tk != "term":
+                raise SparqlError(
+                    f"DESCRIBE needs a constant term, got {tv!r}")
+            self._expect_end()
+            return DescribeQuery(tv)
         self._expect_kw("SELECT")
         distinct = False
         if self._at_kw("DISTINCT"):
@@ -395,7 +452,7 @@ class _Parser:
         select = self._parse_projections()
         self._expect_kw("WHERE")
         group = self._parse_group()
-        group_by, order, limit, having = [], [], None, []
+        group_by, order, limit, having, offset = [], [], None, [], None
         while True:
             if self._at_kw("GROUP"):
                 self._next()
@@ -429,11 +486,42 @@ class _Parser:
                 if k != "term" or not isinstance(v, Lit) or not v.lexical.isdigit():
                     raise SparqlError(f"LIMIT needs an integer, got {v!r}")
                 limit = int(v.lexical)
+            elif self._at_kw("OFFSET"):
+                self._next()
+                k, v = self._next()
+                if k != "term" or not isinstance(v, Lit) or not v.lexical.isdigit():
+                    raise SparqlError(f"OFFSET needs an integer, got {v!r}")
+                offset = int(v.lexical)
             elif self._peek()[0] is None:
                 break
             else:
                 raise SparqlError(f"trailing tokens at {self._peek()[1]!r}")
-        return Query(distinct, select, group, group_by, order, limit, having)
+        return Query(distinct, select, group, group_by, order, limit,
+                     having, offset)
+
+    def _expect_end(self):
+        if self._peek()[0] is not None:
+            raise SparqlError(f"trailing tokens at {self._peek()[1]!r}")
+
+    def _parse_template(self) -> tuple:
+        """CONSTRUCT template: plain triples only (no paths/filters)."""
+        self._expect_punct("{")
+        pats = []
+        while not self._at_punct("}"):
+            terms = []
+            for _ in range(3):
+                k, v = self._next()
+                if k in ("var", "term"):
+                    terms.append(v)
+                else:
+                    raise SparqlError(f"bad template triple near {v!r}")
+            pats.append(Pattern(*terms))
+            if self._at_punct("."):
+                self._next()
+        self._expect_punct("}")
+        if not pats:
+            raise SparqlError("empty CONSTRUCT template")
+        return tuple(pats)
 
     def _parse_having(self):
         """HAVING '(' (AGG '(' ?v|'*' ')' | ?v) op number ')'."""
@@ -1152,6 +1240,44 @@ def evaluate(
     SELECT DISTINCT dedups)."""
     q = parse(query)
     ctx = _Ctx(triples, ranges, turns, encode_const)
+
+    if isinstance(q, AskQuery):
+        # boolean result, fully lazy: one row (ask: true|false)
+        acc, _ = _compile_group(q.group, ctx)
+        return acc.select(F.lit(1).alias("_x")).agg(
+            (F.count("_x") > 0).alias("ask")
+        )
+    if isinstance(q, ConstructQuery):
+        # template instantiation per solution; an RDF graph is a SET,
+        # so the result is DISTINCT (RDF4J GraphQueryResult semantics)
+        acc, bound = _compile_group(q.group, ctx)
+        outs = []
+        for pat in q.template:
+            cols = []
+            for name, t in zip(("subj", "pred", "obj"),
+                               (pat.s, pat.p, pat.o)):
+                if isinstance(t, Var):
+                    if t.name not in bound:
+                        raise SparqlError(
+                            f"CONSTRUCT template references unbound "
+                            f"variable ?{t.name}")
+                    cols.append(F.col(f"v_{t.name}").alias(name))
+                else:
+                    cols.append(F.lit(ctx.const(t)).alias(name))
+            outs.append(acc.select(*cols))
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o)
+        out = out.distinct()
+        if q.limit is not None:
+            out = out.limit(q.limit)
+        return out
+    if isinstance(q, DescribeQuery):
+        # all triples mentioning the resource in the default graph
+        g = ctx.source(None)
+        c = F.lit(ctx.const(q.term))
+        return g.filter((F.col("subj") == c) | (F.col("obj") == c))
+
     acc, bound = _compile_group(q.group, ctx)
 
     if q.select is None:
@@ -1225,6 +1351,10 @@ def evaluate(
                 for v, d in q.order
             ])
         acc = acc.select(*[F.col(f"v_{v}").alias(v) for v in out_vars])
+    if q.offset is not None:
+        # solution-sequence slice: OFFSET before LIMIT (deterministic
+        # only under ORDER BY, as in SPARQL)
+        acc = acc.offset(q.offset)
     if q.limit is not None:
         acc = acc.limit(q.limit)
     return acc
