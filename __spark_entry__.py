@@ -1107,6 +1107,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_sparql_describe"] = kg_sparql_describe
 
+    def pack_sequences_docs(spark, sf):
+        # concat-then-chunk packing layout for LLM batch prep: one
+        # window shuffle, engine-independent shard hash
+        return text_ops.pack_sequences(
+            _t(spark, sf, "documents"), budget=512, n_shards=8
+        )
+
+    q["pack_sequences_docs"] = pack_sequences_docs
+
+    def url_domain_filter(spark, sf):
+        # crawl-style URL/domain blocklist filter; the synth corpus has
+        # no URLs, so both engines plant one deterministically per doc
+        docs = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" http://site"),
+                F.pmod("doc_id", F.lit(7)).cast("string"),
+                F.lit(".example.com"),
+            ).alias("text"),
+        )
+        return text_ops.domain_filter(
+            docs, ["site3.example.com", "site5.example.com"]
+        ).select("doc_id")
+
+    q["url_domain_filter"] = url_domain_filter
+
     def kg_entity_terms(spark, sf):
         # terms emission (RdfBuilder.java:205-217): per-entity
         # lang-tagged label/description/alias rows with BCP-47
@@ -1863,6 +1890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_not_exists", "kg_sparql_asof",
         "kg_sparql_bind_having", "kg_sparql_ask",
         "kg_sparql_construct", "kg_sparql_describe",
+        "pack_sequences_docs", "url_domain_filter",
         # changed this round
         "kg_sparql_state_at", "kg_sparql_join",
         "edit_distance_near_dup",
@@ -1881,11 +1909,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs", "minhash_lsh_pairs", "dedup_clusters",
         "minhash_lsh_pairs_fast", "token_stats", "bpe_token_stats",
         "pii_redaction", "dataset_split", "contamination_check",
-        "quality_score", "language_id", "fingerprint_docs",
-        "embedding_near_dup_pairs",
+        "quality_score", "language_id",
         # (agg_rollup_events / media_feature_stats / simhash_docs /
-        # ann_ivf_recall / ann_lsh_recall rotate in next round — all
-        # r3-green planted-invariant gates, modules untouched)
+        # ann_ivf_recall / ann_lsh_recall / embedding_near_dup_pairs /
+        # fingerprint_docs rotate in next round — all r3-green gates,
+        # modules untouched this round)
         # (media_feature_stats rotates in next round — its binary
         # plumbing is untouched since its r3-green row)
     ]
@@ -2182,6 +2210,26 @@ def oracle_sql() -> dict[str, str]:
         + f"""SELECT DISTINCT subj, pred, obj FROM ranges
            WHERE range_start <= {STATE_REV} AND {STATE_REV} < range_end
              AND (subj = 'Q7' OR obj = 'Q7')""",
+        "pack_sequences_docs": """
+            WITH toks AS (
+              SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard,
+                     CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+                       AS n_tokens
+              FROM documents
+            ),
+            cum AS (
+              SELECT doc_id, shard, n_tokens,
+                     CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                          - n_tokens AS BIGINT) AS start
+              FROM toks
+            )
+            SELECT doc_id, shard, n_tokens,
+                   CAST(start // 512 AS BIGINT) AS bin_id,
+                   CAST(start % 512 AS BIGINT) AS bin_offset
+            FROM cum""",
+        "url_domain_filter": """
+            SELECT doc_id FROM documents
+            WHERE CAST(doc_id % 7 AS INTEGER) NOT IN (3, 5)""",
         "kg_sql_canonical_map": f"""
             WITH RECURSIVE aliases AS ({synth.alias_edges_sql()}),
             walk AS (
@@ -2281,6 +2329,26 @@ def oracle_sql() -> dict[str, str]:
         + f"""SELECT DISTINCT subj, pred, obj FROM ranges
            WHERE range_start <= {STATE_REV} AND {STATE_REV} < range_end
              AND (subj = 'Q7' OR obj = 'Q7')""",
+        "pack_sequences_docs": """
+            WITH toks AS (
+              SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard,
+                     CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+                       AS n_tokens
+              FROM documents
+            ),
+            cum AS (
+              SELECT doc_id, shard, n_tokens,
+                     CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                          - n_tokens AS BIGINT) AS start
+              FROM toks
+            )
+            SELECT doc_id, shard, n_tokens,
+                   CAST(start // 512 AS BIGINT) AS bin_id,
+                   CAST(start % 512 AS BIGINT) AS bin_offset
+            FROM cum""",
+        "url_domain_filter": """
+            SELECT doc_id FROM documents
+            WHERE CAST(doc_id % 7 AS INTEGER) NOT IN (3, 5)""",
         "kg_author_turns": kg
         + """SELECT conv_id, role,
                CAST(count(*) AS BIGINT) AS n_turns,
@@ -2687,6 +2755,26 @@ def oracle_sql() -> dict[str, str]:
         + f"""SELECT DISTINCT subj, pred, obj FROM ranges
            WHERE range_start <= {STATE_REV} AND {STATE_REV} < range_end
              AND (subj = 'Q7' OR obj = 'Q7')""",
+        "pack_sequences_docs": """
+            WITH toks AS (
+              SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard,
+                     CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+                       AS n_tokens
+              FROM documents
+            ),
+            cum AS (
+              SELECT doc_id, shard, n_tokens,
+                     CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                          - n_tokens AS BIGINT) AS start
+              FROM toks
+            )
+            SELECT doc_id, shard, n_tokens,
+                   CAST(start // 512 AS BIGINT) AS bin_id,
+                   CAST(start % 512 AS BIGINT) AS bin_offset
+            FROM cum""",
+        "url_domain_filter": """
+            SELECT doc_id FROM documents
+            WHERE CAST(doc_id % 7 AS INTEGER) NOT IN (3, 5)""",
         "json_extract_events": """
             SELECT event_type,
                    CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)

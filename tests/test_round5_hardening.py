@@ -65,3 +65,46 @@ def test_edit_distance_cap_disabled_restores_block(spark):
         docs, max_dist=50, max_block_size=None
     ).count()
     assert n2 == 10  # cap disabled ⇒ full 5-choose-2
+
+
+def test_pack_sequences_one_exchange_and_straddle(spark):
+    from wikidata_sparql_history_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (8, "d e"), (16, " ".join(["w"] * 7)),
+         (1, "x y z")],
+        "doc_id long, text string",
+    )
+    out = text_ops.pack_sequences(docs, budget=4, n_shards=8)
+    got = {r.doc_id: (r.shard, r.n_tokens, r.bin_id, r.bin_offset)
+           for r in out.collect()}
+    # shard 0 packs 0(3 toks) -> 8(2) -> 16(7): starts 0, 3, 5
+    assert got[0] == (0, 3, 0, 0)
+    assert got[8] == (0, 2, 0, 3)   # straddles bins 0->1
+    assert got[16] == (0, 7, 1, 1)
+    assert got[1] == (1, 3, 0, 0)
+    # scale claim: exactly ONE exchange (the shard window shuffle);
+    # after collect() AQE prints Final+Initial sections — count only
+    # the final one
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") == 1, final[:1500]
+
+
+def test_domain_filter_drops_blocked(spark):
+    from wikidata_sparql_history_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(1, "see http://bad.example.com now"),
+         (2, "see http://ok.example.com now"),
+         (3, "no links at all"),
+         (4, "SEE HTTP://BAD.EXAMPLE.COM upper")],
+        "doc_id long, text string",
+    )
+    out = text_ops.domain_filter(docs, ["bad.example.com"])
+    assert {r.doc_id for r in out.collect()} == {2, 3}
+    doms = text_ops.url_domains(docs)
+    assert {(r.doc_id, r.domain) for r in doms.collect()} == {
+        (1, "bad.example.com"), (2, "ok.example.com"),
+        (4, "bad.example.com"),
+    }

@@ -255,3 +255,80 @@ def bm25_score(
         .join(per_doc, "doc_id", "left")
         .select("doc_id", F.coalesce("bm25", F.lit(0.0)).alias("bm25"))
     )
+
+
+def pack_sequences(
+    docs: DataFrame, budget: int = 2048, n_shards: int = 64
+) -> DataFrame:
+    """Concat-then-chunk sequence packing (LLM pretraining batch prep):
+    documents are conceptually concatenated in a deterministic order
+    and cut every `budget` tokens; each doc learns which context
+    window (bin) its first token lands in and at what offset.
+
+    Sharded for scale: a single global cumsum would serialize on one
+    partition at 100 TB, so docs are hash-sharded (pmod(doc_id),
+    engine-independent) and packed per shard — the standard
+    data-parallel packing layout (each worker consumes whole shards).
+    ONE shuffle: the window repartitions by shard and sorts by doc_id
+    within it. Token counts use the shared WORD_RE tokenizer.
+
+    Output: (doc_id, shard, n_tokens, bin_id, bin_offset) where
+    bin_id counts bins WITHIN the shard and bin_offset is the doc's
+    start position inside its bin. Docs longer than `budget` straddle
+    bins, exactly like the real concat-then-chunk pipeline.
+    """
+    from pyspark.sql import Window
+
+    shard = F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
+    n_tok = F.size(F.regexp_extract_all("text", F.lit(WORD_RE), 0))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = docs.select(
+        "doc_id",
+        shard.alias("shard"),
+        n_tok.cast("long").alias("n_tokens"),
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("_start")
+    return toks.select("doc_id", "shard", "n_tokens", start).select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        (F.col("_start") / budget).cast("long").alias("bin_id"),
+        F.pmod(F.col("_start"), F.lit(budget)).cast("long").alias("bin_offset"),
+    )
+
+
+URL_RE = r"https?://[A-Za-z0-9.-]+"  # scheme + host only (shared Java/RE2/DuckDB subset)
+
+
+def url_domains(docs: DataFrame) -> DataFrame:
+    """(doc_id, domain) — one row per distinct lowercased host
+    mentioned in the text (scan-side regexp, explode, distinct)."""
+    hosts = F.regexp_extract_all(F.lower("text"), F.lit(URL_RE), 0)
+    return (
+        docs.select("doc_id", F.explode(hosts).alias("url"))
+        .select(
+            "doc_id",
+            F.regexp_replace("url", r"^https?://", "").alias("domain"),
+        )
+        .distinct()
+    )
+
+
+def domain_filter(docs: DataFrame, blocked: list[str]) -> DataFrame:
+    """Drop documents that mention any blocked domain (crawl-pipeline
+    URL filtering). The blocklist is a driver-side literal IN-list —
+    at 100 TB scale a large blocklist becomes a broadcast anti-join on
+    url_domains(docs) instead; this form keeps the filter scan-side
+    for the common small-blocklist case.
+
+    Output: the surviving docs (doc_id, text)."""
+    hosts = F.regexp_extract_all(F.lower("text"), F.lit(URL_RE), 0)
+    hit = F.exists(
+        F.transform(hosts, lambda u: F.regexp_replace(u, r"^https?://", "")),
+        lambda d: d.isin([b.lower() for b in blocked]),
+    )
+    return docs.filter(~hit).select("doc_id", "text")
