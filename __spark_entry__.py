@@ -1134,6 +1134,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["url_domain_filter"] = url_domain_filter
 
+    def kg_sparql_subquery(spark, sf):
+        # SPARQL 1.1 subquery: inner aggregate evaluated bottom-up,
+        # joined to the outer pattern on its projected variable
+        from wikidata_sparql_history_spark.plans import sparql
+
+        state = views.state_at(_kg_ranges(spark, sf), STATE_REV)
+        return sparql.evaluate(
+            state,
+            "SELECT DISTINCT ?s ?n WHERE { "
+            "{ SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s P0 ?o } GROUP BY ?s } "
+            "?s P1 ?x }",
+        )
+
+    q["kg_sparql_subquery"] = kg_sparql_subquery
+
     def kg_entity_terms(spark, sf):
         # terms emission (RdfBuilder.java:205-217): per-entity
         # lang-tagged label/description/alias rows with BCP-47
@@ -1891,6 +1906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_bind_having", "kg_sparql_ask",
         "kg_sparql_construct", "kg_sparql_describe",
         "pack_sequences_docs", "url_domain_filter",
+        "kg_sparql_subquery",
         # changed this round
         "kg_sparql_state_at", "kg_sparql_join",
         "edit_distance_near_dup",
@@ -1909,7 +1925,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs", "minhash_lsh_pairs", "dedup_clusters",
         "minhash_lsh_pairs_fast", "token_stats", "bpe_token_stats",
         "pii_redaction", "dataset_split", "contamination_check",
-        "quality_score", "language_id",
+        "quality_score",
+        # (language_id rotates in next round — r3-green, untouched)
         # (agg_rollup_events / media_feature_stats / simhash_docs /
         # ann_ivf_recall / ann_lsh_recall / embedding_near_dup_pairs /
         # fingerprint_docs rotate in next round — all r3-green gates,
@@ -2230,6 +2247,17 @@ def oracle_sql() -> dict[str, str]:
         "url_domain_filter": """
             SELECT doc_id FROM documents
             WHERE CAST(doc_id % 7 AS INTEGER) NOT IN (3, 5)""",
+        "kg_sparql_subquery": kg
+        + f""", st AS (
+             SELECT DISTINCT subj, pred, obj FROM ranges
+             WHERE range_start <= {STATE_REV} AND {STATE_REV} < range_end
+           ),
+           deg AS (
+             SELECT subj, CAST(count(obj) AS BIGINT) AS n
+             FROM st WHERE pred = 'P0' GROUP BY subj
+           )
+           SELECT DISTINCT d.subj AS s, d.n
+           FROM deg d JOIN st ON d.subj = st.subj AND st.pred = 'P1'""",
         "kg_sql_canonical_map": f"""
             WITH RECURSIVE aliases AS ({synth.alias_edges_sql()}),
             walk AS (
@@ -2349,6 +2377,17 @@ def oracle_sql() -> dict[str, str]:
         "url_domain_filter": """
             SELECT doc_id FROM documents
             WHERE CAST(doc_id % 7 AS INTEGER) NOT IN (3, 5)""",
+        "kg_sparql_subquery": kg
+        + f""", st AS (
+             SELECT DISTINCT subj, pred, obj FROM ranges
+             WHERE range_start <= {STATE_REV} AND {STATE_REV} < range_end
+           ),
+           deg AS (
+             SELECT subj, CAST(count(obj) AS BIGINT) AS n
+             FROM st WHERE pred = 'P0' GROUP BY subj
+           )
+           SELECT DISTINCT d.subj AS s, d.n
+           FROM deg d JOIN st ON d.subj = st.subj AND st.pred = 'P1'""",
         "kg_author_turns": kg
         + """SELECT conv_id, role,
                CAST(count(*) AS BIGINT) AS n_turns,
@@ -2775,6 +2814,17 @@ def oracle_sql() -> dict[str, str]:
         "url_domain_filter": """
             SELECT doc_id FROM documents
             WHERE CAST(doc_id % 7 AS INTEGER) NOT IN (3, 5)""",
+        "kg_sparql_subquery": kg
+        + f""", st AS (
+             SELECT DISTINCT subj, pred, obj FROM ranges
+             WHERE range_start <= {STATE_REV} AND {STATE_REV} < range_end
+           ),
+           deg AS (
+             SELECT subj, CAST(count(obj) AS BIGINT) AS n
+             FROM st WHERE pred = 'P0' GROUP BY subj
+           )
+           SELECT DISTINCT d.subj AS s, d.n
+           FROM deg d JOIN st ON d.subj = st.subj AND st.pred = 'P1'""",
         "json_extract_events": """
             SELECT event_type,
                    CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)

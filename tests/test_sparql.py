@@ -580,3 +580,30 @@ def test_limit_offset_slice(spark):
     )
     q = "SELECT ?s WHERE { ?s P9 ?v } ORDER BY ?v LIMIT 2 OFFSET 1"
     assert [r.s for r in sparql.evaluate(df, q).collect()] == ["b", "c"]
+
+
+# --- subqueries -----------------------------------------------------------
+
+def test_subquery_aggregate_joins_outer(spark):
+    # per-subject P2 degree from an inner aggregate subquery, joined
+    # to the outer pattern on the projected ?s
+    q = ("SELECT DISTINCT ?s ?n ?o WHERE { "
+         "{ SELECT ?s (COUNT(?x) AS ?n) WHERE { ?s P2 ?x } GROUP BY ?s } "
+         "?s P0 ?o }")
+    assert rows(sparql.evaluate(graph(spark), q)) == set()
+    # Q3 has P2 edges but no P0 self-loop; Q7 has P0 but no P2 — empty.
+    q2 = ("SELECT DISTINCT ?s ?n WHERE { "
+          "{ SELECT ?s (COUNT(?x) AS ?n) WHERE { ?s P2 ?x } GROUP BY ?s } "
+          "?s ?p ?o }")
+    assert rows(sparql.evaluate(graph(spark), q2)) == {("Q3", 2)}
+
+
+def test_subquery_limit_scopes_inside(spark):
+    df = spark.createDataFrame(
+        [("a", "P9", "1"), ("b", "P9", "2"), ("c", "P9", "3")],
+        "subj string, pred string, obj string",
+    )
+    q = ("SELECT ?s ?v WHERE { "
+         "{ SELECT ?s ?v WHERE { ?s P9 ?v } ORDER BY ?v LIMIT 2 } "
+         "?s P9 ?v }")
+    assert rows(sparql.evaluate(df, q)) == {("a", "1"), ("b", "2")}

@@ -25,7 +25,7 @@ Grammar (ANSI-ish EBNF, keywords case-insensitive)::
               | OPTIONAL group | MINUS group
               | GRAPH iri group | group (UNION group)+
               | VALUES (?v | '(' ?v+ ')') '{' (row | UNDEF)+ '}'
-              | BIND '(' bexpr AS ?v ')'
+              | BIND '(' bexpr AS ?v ')' | '{' SELECT-query '}'
     bexpr    := CONCAT '(' operand (',' operand)* ')'
               | operand [('+'|'-'|'*'|'/') operand]
     triple   := term (?v | path) term
@@ -99,6 +99,9 @@ Semantics notes (deviations from full SPARQL 1.1 are explicit):
   ORDER BY may reference non-projected variables (sorted before the
   projection) except under DISTINCT, where order keys must be
   projected.
+- Subqueries: a braced inner SELECT is evaluated bottom-up and joins
+  the outer group on its PROJECTED variables only (SPARQL 1.1
+  subquery scoping); aggregate subqueries compose with outer patterns.
 - Query forms: SELECT, ASK (one lazy boolean row `ask`), CONSTRUCT
   (template instantiation, DISTINCT per RDF set semantics, default
   graph constants via encode_const too) and DESCRIBE <const> (all
@@ -106,9 +109,8 @@ Semantics notes (deviations from full SPARQL 1.1 are explicit):
   the solution sequence (OFFSET deterministic only under ORDER BY).
 - Joins on variables that may be unbound (after OPTIONAL/UNION) use
   strict NULL-rejecting equality, not SPARQL compatibility-join;
-  aggregates other than COUNT cast to double; no subqueries, no
-  SERVICE. Each restriction is rejected loudly with the offending
-  token named.
+  aggregates other than COUNT cast to double; no SERVICE federation.
+  Each restriction is rejected loudly with the offending token named.
 """
 
 from __future__ import annotations
@@ -292,6 +294,11 @@ class Query:
 
 
 @dataclass(frozen=True)
+class SubqueryBlock:
+    query: "Query"
+
+
+@dataclass(frozen=True)
 class AskQuery:
     group: tuple
 
@@ -413,16 +420,16 @@ class _Parser:
 
     # ---- query ----------------------------------------------------------
 
-    def parse_query(self):
+    def parse_query(self, inner: bool = False):
         k, v = self._peek()
-        if k == "kw" and v == "ASK":
+        if not inner and k == "kw" and v == "ASK":
             self._next()
             if self._at_kw("WHERE"):
                 self._next()
             g = self._parse_group()
             self._expect_end()
             return AskQuery(g)
-        if k == "kw" and v == "CONSTRUCT":
+        if not inner and k == "kw" and v == "CONSTRUCT":
             self._next()
             tmpl = self._parse_template()
             self._expect_kw("WHERE")
@@ -436,7 +443,7 @@ class _Parser:
                 limit = int(lv.lexical)
             self._expect_end()
             return ConstructQuery(tmpl, g, limit)
-        if k == "kw" and v == "DESCRIBE":
+        if not inner and k == "kw" and v == "DESCRIBE":
             self._next()
             tk, tv = self._next()
             if tk != "term":
@@ -492,12 +499,19 @@ class _Parser:
                 if k != "term" or not isinstance(v, Lit) or not v.lexical.isdigit():
                     raise SparqlError(f"OFFSET needs an integer, got {v!r}")
                 offset = int(v.lexical)
-            elif self._peek()[0] is None:
+            elif self._peek()[0] is None or (
+                inner and self._at_punct("}")
+            ):
                 break
             else:
                 raise SparqlError(f"trailing tokens at {self._peek()[1]!r}")
         return Query(distinct, select, group, group_by, order, limit,
                      having, offset)
+
+    def _next_is_select(self) -> bool:
+        nk, nv = (self.toks[self.i + 1]
+                  if self.i + 1 < len(self.toks) else (None, None))
+        return nk == "kw" and nv == "SELECT"
 
     def _expect_end(self):
         if self._peek()[0] is not None:
@@ -659,6 +673,11 @@ class _Parser:
                 elements.append(GraphBlock(_GRAPH_KIND[m.group(1)],
                                            int(m.group(2)),
                                            self._parse_group()))
+            elif self._at_punct("{") and self._next_is_select():
+                self._next()  # consume '{'
+                sub = self.parse_query(inner=True)
+                self._expect_punct("}")
+                elements.append(SubqueryBlock(sub))
             elif self._at_punct("{"):
                 branches = [self._parse_group()]
                 while self._at_kw("UNION"):
@@ -1154,6 +1173,11 @@ def _compile_group(group: tuple, ctx: _Ctx, graph=None):
                 )
             # no shared variables ⇒ nothing is compatible ⇒ no-op
             # (SPARQL MINUS semantics, unlike NOT EXISTS)
+        elif isinstance(el, SubqueryBlock):
+            # SPARQL 1.1 subquery: evaluated bottom-up, only its
+            # projected variables join the outer group
+            df, vs = _compile_select(el.query, ctx)
+            acc, bound = _join(acc, bound, df, set(vs))
         elif isinstance(el, BindExpr):
             if acc is None:
                 raise SparqlError("BIND cannot be the first element")
@@ -1278,6 +1302,13 @@ def evaluate(
         c = F.lit(ctx.const(q.term))
         return g.filter((F.col("subj") == c) | (F.col("obj") == c))
 
+    acc, out_vars = _compile_select(q, ctx)
+    return acc.select(*[F.col(f"v_{v}").alias(v) for v in out_vars])
+
+
+def _compile_select(q: Query, ctx: _Ctx):
+    """Compile a SELECT query to (DataFrame with v_<name> columns,
+    projected var list) — shared by evaluate() and subquery blocks."""
     acc, bound = _compile_group(q.group, ctx)
 
     if q.select is None:
@@ -1335,11 +1366,12 @@ def evaluate(
             raise SparqlError(
                 f"ORDER BY ?{var} must be selected when DISTINCT is used")
     if q.distinct:
-        acc = acc.select(*[F.col(f"v_{v}").alias(v) for v in out_vars])
-        acc = acc.distinct()
+        acc = acc.select(*[f"v_{v}" for v in out_vars]).distinct()
         if q.order:
-            acc = acc.orderBy(*[F.col(v).desc() if d else F.col(v).asc()
-                                for v, d in q.order])
+            acc = acc.orderBy(*[
+                F.col(f"v_{v}").desc() if d else F.col(f"v_{v}").asc()
+                for v, d in q.order
+            ])
     else:
         # ORDER BY may reference non-projected variables: sort on the
         # internal columns BEFORE the projection (SPARQL visible-var
@@ -1350,11 +1382,11 @@ def evaluate(
                 F.col(f"v_{v}").desc() if d else F.col(f"v_{v}").asc()
                 for v, d in q.order
             ])
-        acc = acc.select(*[F.col(f"v_{v}").alias(v) for v in out_vars])
+        acc = acc.select(*[f"v_{v}" for v in out_vars])
     if q.offset is not None:
         # solution-sequence slice: OFFSET before LIMIT (deterministic
         # only under ORDER BY, as in SPARQL)
         acc = acc.offset(q.offset)
     if q.limit is not None:
         acc = acc.limit(q.limit)
-    return acc
+    return acc, out_vars
