@@ -1,0 +1,76 @@
+"""One-shot SPARQL CLI (Main.java:117-122 analog): store loading,
+query evaluation, and the three result writers."""
+
+from __future__ import annotations
+
+import io
+import json
+
+import pytest
+
+from wikidata_sparql_history_spark import cli, synth
+from wikidata_sparql_history_spark.pipeline.materialize import run_pipeline
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("cli_store"))
+    run_pipeline(
+        spark,
+        synth.transcripts(spark, 20, shuffled=False),
+        out,
+        candidates=synth.candidate_dict(spark),
+        aliases=synth.alias_edges(spark),
+        use_builtin_extractor=True,
+    )
+    return out
+
+
+def test_cli_tsv(spark, store):
+    buf = io.StringIO()
+    rc = cli.main(
+        ["--store", store, "-q",
+         "SELECT DISTINCT ?s ?o WHERE { GRAPH <rev:global/8> { ?s P0 ?o } }"],
+        spark=spark, out=buf,
+    )
+    assert rc == 0
+    lines = buf.getvalue().strip().splitlines()
+    assert lines[0] == "s\to"
+    assert len(lines) > 1 and all("\t" in l for l in lines[1:])
+
+
+def test_cli_json_shape(spark, store):
+    buf = io.StringIO()
+    cli.main(
+        ["--store", store, "-q",
+         "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s P0 ?o } GROUP BY ?s",
+         "--format", "json"],
+        spark=spark, out=buf,
+    )
+    doc = json.loads(buf.getvalue())
+    assert doc["head"]["vars"] == ["s", "n"]
+    assert doc["results"]["bindings"], "expected at least one binding"
+    b = doc["results"]["bindings"][0]
+    assert set(b) == {"s", "n"} and b["s"]["type"] == "literal"
+
+
+def test_cli_ntriples_for_construct(spark, store):
+    buf = io.StringIO()
+    cli.main(
+        ["--store", store, "-q",
+         "CONSTRUCT { ?s linked ?o } WHERE { ?s P0 ?o }",
+         "--format", "ntriples", "--max-rows", "5"],
+        spark=spark, out=buf,
+    )
+    lines = buf.getvalue().strip().splitlines()
+    assert 0 < len(lines) <= 5
+    assert all(l.endswith(" .") and l.count("<") == 3 for l in lines)
+
+
+def test_cli_ntriples_rejects_bindings(spark, store):
+    with pytest.raises(SystemExit):
+        cli.main(
+            ["--store", store, "-q", "SELECT ?s WHERE { ?s P0 ?o }",
+             "--format", "ntriples"],
+            spark=spark, out=io.StringIO(),
+        )
