@@ -2329,65 +2329,6 @@ def oracle_sql() -> dict[str, str]:
                       row_number() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS rn
                FROM turns WHERE ts >= TIMESTAMP '{ASOF_TS}')
              WHERE rn = 1""",
-        "kg_sparql_bind_having": kg
-        + f""", st AS (
-             SELECT DISTINCT subj, pred, obj FROM ranges
-             WHERE range_start <= {STATE_REV} AND {STATE_REV} < range_end
-           )
-           SELECT subj || '@' || 'r8' AS tag,
-                  CAST(count(obj) AS BIGINT) AS n
-           FROM st WHERE pred = 'P0'
-           GROUP BY subj HAVING count(obj) >= 2""",
-        "kg_sparql_ask": kg
-        + f"""SELECT count(*) > 0 AS ask FROM (
-             SELECT DISTINCT subj, pred, obj FROM ranges
-             WHERE range_start <= {STATE_REV} AND {STATE_REV} < range_end
-           ) WHERE subj = 'Q7' AND pred = 'P0'""",
-        "kg_sparql_construct": kg
-        + f""", st AS (
-             SELECT DISTINCT subj, pred, obj FROM ranges
-             WHERE range_start <= {STATE_REV} AND {STATE_REV} < range_end
-           )
-           SELECT DISTINCT subj, pred, obj FROM (
-             SELECT obj AS subj, 'rdf:linkedFrom' AS pred, subj AS obj
-             FROM st WHERE pred = 'P0'
-             UNION ALL
-             SELECT subj, 'rdf:type', 'kg:Entity' FROM st WHERE pred = 'P0')""",
-        "kg_sparql_describe": kg
-        + f"""SELECT DISTINCT subj, pred, obj FROM ranges
-           WHERE range_start <= {STATE_REV} AND {STATE_REV} < range_end
-             AND (subj = 'Q7' OR obj = 'Q7')""",
-        "pack_sequences_docs": """
-            WITH toks AS (
-              SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard,
-                     CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
-                       AS n_tokens
-              FROM documents
-            ),
-            cum AS (
-              SELECT doc_id, shard, n_tokens,
-                     CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
-                          - n_tokens AS BIGINT) AS start
-              FROM toks
-            )
-            SELECT doc_id, shard, n_tokens,
-                   CAST(start // 512 AS BIGINT) AS bin_id,
-                   CAST(start % 512 AS BIGINT) AS bin_offset
-            FROM cum""",
-        "url_domain_filter": """
-            SELECT doc_id FROM documents
-            WHERE CAST(doc_id % 7 AS INTEGER) NOT IN (3, 5)""",
-        "kg_sparql_subquery": kg
-        + f""", st AS (
-             SELECT DISTINCT subj, pred, obj FROM ranges
-             WHERE range_start <= {STATE_REV} AND {STATE_REV} < range_end
-           ),
-           deg AS (
-             SELECT subj, CAST(count(obj) AS BIGINT) AS n
-             FROM st WHERE pred = 'P0' GROUP BY subj
-           )
-           SELECT DISTINCT d.subj AS s, d.n
-           FROM deg d JOIN st ON d.subj = st.subj AND st.pred = 'P1'""",
         "kg_author_turns": kg
         + """SELECT conv_id, role,
                CAST(count(*) AS BIGINT) AS n_turns,
@@ -2766,65 +2707,6 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY ts DESC, event_id DESC) AS rn
               FROM events WHERE ts <= TIMESTAMP '{ASOF_TS}')
             WHERE rn = 1""",
-        "kg_sparql_bind_having": kg
-        + f""", st AS (
-             SELECT DISTINCT subj, pred, obj FROM ranges
-             WHERE range_start <= {STATE_REV} AND {STATE_REV} < range_end
-           )
-           SELECT subj || '@' || 'r8' AS tag,
-                  CAST(count(obj) AS BIGINT) AS n
-           FROM st WHERE pred = 'P0'
-           GROUP BY subj HAVING count(obj) >= 2""",
-        "kg_sparql_ask": kg
-        + f"""SELECT count(*) > 0 AS ask FROM (
-             SELECT DISTINCT subj, pred, obj FROM ranges
-             WHERE range_start <= {STATE_REV} AND {STATE_REV} < range_end
-           ) WHERE subj = 'Q7' AND pred = 'P0'""",
-        "kg_sparql_construct": kg
-        + f""", st AS (
-             SELECT DISTINCT subj, pred, obj FROM ranges
-             WHERE range_start <= {STATE_REV} AND {STATE_REV} < range_end
-           )
-           SELECT DISTINCT subj, pred, obj FROM (
-             SELECT obj AS subj, 'rdf:linkedFrom' AS pred, subj AS obj
-             FROM st WHERE pred = 'P0'
-             UNION ALL
-             SELECT subj, 'rdf:type', 'kg:Entity' FROM st WHERE pred = 'P0')""",
-        "kg_sparql_describe": kg
-        + f"""SELECT DISTINCT subj, pred, obj FROM ranges
-           WHERE range_start <= {STATE_REV} AND {STATE_REV} < range_end
-             AND (subj = 'Q7' OR obj = 'Q7')""",
-        "pack_sequences_docs": """
-            WITH toks AS (
-              SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard,
-                     CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
-                       AS n_tokens
-              FROM documents
-            ),
-            cum AS (
-              SELECT doc_id, shard, n_tokens,
-                     CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
-                          - n_tokens AS BIGINT) AS start
-              FROM toks
-            )
-            SELECT doc_id, shard, n_tokens,
-                   CAST(start // 512 AS BIGINT) AS bin_id,
-                   CAST(start % 512 AS BIGINT) AS bin_offset
-            FROM cum""",
-        "url_domain_filter": """
-            SELECT doc_id FROM documents
-            WHERE CAST(doc_id % 7 AS INTEGER) NOT IN (3, 5)""",
-        "kg_sparql_subquery": kg
-        + f""", st AS (
-             SELECT DISTINCT subj, pred, obj FROM ranges
-             WHERE range_start <= {STATE_REV} AND {STATE_REV} < range_end
-           ),
-           deg AS (
-             SELECT subj, CAST(count(obj) AS BIGINT) AS n
-             FROM st WHERE pred = 'P0' GROUP BY subj
-           )
-           SELECT DISTINCT d.subj AS s, d.n
-           FROM deg d JOIN st ON d.subj = st.subj AND st.pred = 'P1'""",
         "json_extract_events": """
             SELECT event_type,
                    CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)

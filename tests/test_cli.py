@@ -74,3 +74,52 @@ def test_cli_ntriples_rejects_bindings(spark, store):
              "--format", "ntriples"],
             spark=spark, out=io.StringIO(),
         )
+
+
+def test_cli_ntriples_literal_objects(spark, store):
+    # round-5 advice: CONSTRUCT can emit literal objects (numbers,
+    # free text) — these must serialize as quoted literals, not <...>
+    buf = io.StringIO()
+    cli.main(
+        ["--store", store, "-q",
+         'CONSTRUCT { ?s hasCount 42 } WHERE { ?s P0 ?o }',
+         "--format", "ntriples", "--max-rows", "3"],
+        spark=spark, out=buf,
+    )
+    lines = buf.getvalue().strip().splitlines()
+    assert lines
+    for l in lines:
+        assert l.endswith('"42" .'), l
+        assert l.count("<") == 2, l   # subj + pred IRIs only
+
+
+def test_cli_serve_two_warm_queries(spark, store):
+    # --serve: one loaded store, many queries (SparqlEndpoint analog);
+    # an invalid query yields an !error line, not a dead session
+    inp = io.StringIO(
+        "SELECT DISTINCT ?s WHERE { GRAPH <rev:global/8> { ?s P0 ?o } }\n"
+        "SERVICE bogus\n"
+        "ASK { ?s P0 ?o }\n"
+        "exit\n"
+        "SELECT ?never WHERE { ?never P0 ?o }\n"
+    )
+    buf = io.StringIO()
+    rc = cli.main(
+        ["--store", store, "--serve"], spark=spark, out=buf, inp=inp,
+    )
+    assert rc == 0
+    text = buf.getvalue()
+    blocks = [b for b in text.split("\n\n") if b.strip()]
+    assert len(blocks) == 3          # two results + one error; exit stops
+    assert blocks[0].splitlines()[0] == "s"
+    assert blocks[1].startswith("!error:")
+    assert blocks[2].splitlines()[0] == "ask"
+    assert "never" not in text
+
+
+def test_cli_requires_exactly_one_mode(spark, store):
+    with pytest.raises(SystemExit):
+        cli.main(["--store", store], spark=spark, out=io.StringIO())
+    with pytest.raises(SystemExit):
+        cli.main(["--store", store, "-q", "ASK { ?s P0 ?o }", "--serve"],
+                 spark=spark, out=io.StringIO())

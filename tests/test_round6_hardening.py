@@ -1,0 +1,256 @@
+"""Round-6 hardening: PREFIX/BASE prologue, variable GRAPH names
+(bounded boundary enumeration), compound FILTER expressions,
+DESCRIBE ?x WHERE, the bound-subject p* zero-length fix, subquery
+GRAPH-context threading, and type-correct UNION padding on the
+encoded surface (round-5 verdict items 1-3/5-6 + advice)."""
+
+from __future__ import annotations
+
+import pytest
+
+from wikidata_sparql_history_spark.plans import sparql
+from tests.test_sparql import graph, ranges, turns, rows
+
+
+# --- PREFIX / BASE prologue (SPARQL 1.1 §4.1.1) ---------------------------
+
+def test_parse_headers_unit():
+    body, prefixes, base = sparql.parse_headers(
+        "PREFIX a: <http://a.example/> \n"
+        "prefix b: <http://b.example/#>\n"
+        "BASE <http://base.example/>\n"
+        "PREFIX a: <http://a2.example/>\n"
+        "SELECT ?s WHERE { ?s a:p ?o }"
+    )
+    assert body.strip().startswith("SELECT")
+    # redefinition is last-wins, as in SPARQL
+    assert prefixes == {"a": "http://a2.example/", "b": "http://b.example/#"}
+    assert base == "http://base.example/"
+
+
+def test_prefix_expansion_in_terms():
+    q = sparql.parse(
+        "PREFIX ex: <http://ex.org/> "
+        'SELECT ?s WHERE { ?s ex:p "3"^^ex:dt . ?s ex:q ?o }'
+    )
+    p1, p2 = q.group
+    assert p1.p == sparql.Iri("http://ex.org/p")
+    assert p1.o.datatype == "http://ex.org/dt"
+    assert p2.p == sparql.Iri("http://ex.org/q")
+
+
+def test_base_resolves_relative_iris():
+    q = sparql.parse(
+        "BASE <http://base.example/> "
+        "SELECT ?o WHERE { <rel/x> <http://abs.example/p> ?o }"
+    )
+    (pat,) = q.group
+    assert pat.s == sparql.Iri("http://base.example/rel/x")
+    # absolute IRIs (scheme present) are never BASE-resolved
+    assert pat.p == sparql.Iri("http://abs.example/p")
+
+
+def test_undeclared_prefix_keeps_bare_name(spark):
+    # rev:global/5 with no PREFIX header: current bare-name behavior
+    r = ranges(spark)
+    q = "SELECT ?s ?o WHERE { GRAPH rev:global/5 { ?s P0 ?o } }"
+    assert rows(sparql.evaluate(None, q, ranges=r)) == {
+        ("Q1", "Q3"), ("Q9", "Q1")
+    }
+
+
+def test_prefix_expanded_graph_iri(spark):
+    # the full REVISION_NAMESPACE form via a declared prefix
+    # (Vocabulary.java:51; prefixes.json registry)
+    r = ranges(spark)
+    q = (
+        "PREFIX revs: <http://www.wikidata.org/revision/> "
+        "SELECT ?s ?o WHERE { GRAPH revs:global/5 { ?s P0 ?o } }"
+    )
+    assert rows(sparql.evaluate(None, q, ranges=r)) == {
+        ("Q1", "Q3"), ("Q9", "Q1")
+    }
+
+
+def test_prefix_expanded_magic_predicates(spark):
+    # schema.org / wikiba.se history namespaces expand to full IRIs
+    # and still dispatch to the metadata views (Vocabulary.java:20-35)
+    t = turns(spark)
+    q = (
+        "PREFIX schema: <http://schema.org/> "
+        "PREFIX hist: <http://wikiba.se/history/ontology#> "
+        "SELECT ?t ?who ?c WHERE "
+        "{ ?t hist:author ?who . ?t schema:about ?c }"
+    )
+    assert rows(sparql.evaluate(None, q, turns=t)) == {
+        ("rev:c1/1", "user", "c1"), ("rev:c1/3", "assistant", "c1")
+    }
+
+
+def test_prefix_expanded_global_state_at(spark):
+    t = turns(spark)
+    q = (
+        "PREFIX hist: <http://wikiba.se/history/ontology#> "
+        'SELECT ?t WHERE { ?t hist:globalStateAt '
+        '"2024-01-01T00:00:05"^^xsd:dateTime }'
+    )
+    assert rows(sparql.evaluate(None, q, turns=t)) == {("rev:c1/3",)}
+
+
+# --- variable GRAPH names (bounded enumeration) ---------------------------
+
+def test_graph_var_enumerates_boundaries(spark):
+    # "at which revisions was this fact added / deleted?" in pure text
+    # (the reference's unbound-context UnionIteration,
+    # RocksTripleSource.java:96-104)
+    r = ranges(spark)
+    q = "SELECT ?g ?o WHERE { GRAPH ?g { Q1 P0 ?o } }"
+    assert rows(sparql.evaluate(None, q, ranges=r)) == {
+        ("rev:additions/0", "Q2"),
+        ("rev:additions/5", "Q3"),
+        ("rev:deletions/5", "Q2"),   # range_end = LONG_MAX is not an event
+    }
+
+
+def test_graph_var_join_same_context(spark):
+    # two patterns under ONE GRAPH ?g must co-occur in the same
+    # context (join on the bound graph variable)
+    r = ranges(spark)
+    q = "SELECT ?g WHERE { GRAPH ?g { Q1 P0 Q3 . Q9 P0 Q1 } }"
+    assert rows(sparql.evaluate(None, q, ranges=r)) == {
+        ("rev:additions/5",)
+    }
+
+
+def test_graph_var_projects_graph_only(spark):
+    r = ranges(spark)
+    q = "SELECT DISTINCT ?g WHERE { GRAPH ?g { ?s P1 ?o } }"
+    assert rows(sparql.evaluate(None, q, ranges=r)) == {
+        ("rev:additions/2",), ("rev:deletions/7",)
+    }
+
+
+# --- compound FILTER expressions ------------------------------------------
+
+def test_filter_or(spark):
+    g = graph(spark)
+    q = ("SELECT ?s ?p ?o WHERE { ?s ?p ?o . "
+         "FILTER(?p = P1 || ?p = P2) }")
+    assert rows(sparql.evaluate(g, q)) == {
+        ("Q7", "P1", "Q3"), ("Q3", "P2", "Q5"),
+        ("Q3", "P2", "Q6"), ("Q9", "P1", "Q3"),
+    }
+
+
+def test_filter_and_with_parens(spark):
+    g = graph(spark)
+    q = ("SELECT ?s ?p ?o WHERE { ?s ?p ?o . "
+         "FILTER((?p = P0 || ?p = P1) && ?s = Q7) }")
+    assert rows(sparql.evaluate(g, q)) == {
+        ("Q7", "P0", "Q7"), ("Q7", "P1", "Q3"),
+    }
+
+
+def test_filter_var_var_comparison(spark):
+    g = graph(spark)
+    q = "SELECT ?s ?o WHERE { ?s ?p ?o . FILTER(?s = ?o) }"
+    assert rows(sparql.evaluate(g, q)) == {("Q7", "Q7")}
+    q2 = ("SELECT ?s ?p ?o WHERE { ?s ?p ?o . "
+          "FILTER(?s != ?o && ?p != P2) }")
+    assert rows(sparql.evaluate(g, q2)) == {
+        ("Q7", "P1", "Q3"), ("Q9", "P1", "Q3"),
+    }
+
+
+def test_filter_regex_inside_boolean(spark):
+    g = graph(spark)
+    q = ('SELECT ?s ?o WHERE { ?s P2 ?o . '
+         'FILTER(regex(?o, "5$") || regex(?o, "6$")) }')
+    assert rows(sparql.evaluate(g, q)) == {("Q3", "Q5"), ("Q3", "Q6")}
+
+
+def test_filter_unbound_var_in_boolean_raises(spark):
+    g = graph(spark)
+    with pytest.raises(sparql.SparqlError, match="unbound"):
+        sparql.evaluate(
+            g, "SELECT ?s WHERE { ?s P0 ?o . FILTER(?s = ?zzz || ?s = Q7) }"
+        ).collect()
+
+
+# --- DESCRIBE ?x WHERE -----------------------------------------------------
+
+def test_describe_where_variable(spark):
+    g = graph(spark)
+    out = sparql.evaluate(g, "DESCRIBE ?x WHERE { ?x P2 ?o }")
+    assert set(out.columns) == {"subj", "pred", "obj"}
+    assert rows(out) == {
+        ("Q7", "P1", "Q3"), ("Q3", "P2", "Q5"),
+        ("Q3", "P2", "Q6"), ("Q9", "P1", "Q3"),
+    }
+
+
+def test_describe_where_errors(spark):
+    g = graph(spark)
+    with pytest.raises(sparql.SparqlError, match="WHERE clause"):
+        sparql.evaluate(g, "DESCRIBE ?x")
+    with pytest.raises(sparql.SparqlError, match="does not bind"):
+        sparql.evaluate(g, "DESCRIBE ?x WHERE { ?y P2 ?o }")
+    with pytest.raises(sparql.SparqlError, match="does not take"):
+        sparql.evaluate(g, "DESCRIBE Q7 WHERE { ?y P2 ?o }")
+
+
+# --- bound-subject p* zero-length solution (round-5 advice) ----------------
+
+def test_path_star_bound_subject_absent_from_graph(spark):
+    # SPARQL ZeroOrMorePath: <s> p* ?o yields (s, s) even when s has
+    # no edges — previously lost because the seed derived from the
+    # (filtered) graph
+    g = graph(spark)
+    out = sparql.evaluate(g, "SELECT ?o WHERE { Q99 P0* ?o }")
+    assert rows(out) == {("Q99",)}
+    # p+ of an absent subject is genuinely empty (≥1 edge required)
+    out2 = sparql.evaluate(g, "SELECT ?o WHERE { Q99 P0+ ?o }")
+    assert rows(out2) == set()
+
+
+def test_path_star_bound_subject_present(spark):
+    g = graph(spark)
+    out = sparql.evaluate(g, "SELECT ?o WHERE { Q7 P1* ?o }")
+    assert rows(out) == {("Q7",), ("Q3",)}
+
+
+# --- subquery under GRAPH threads the context (round-5 advice) -------------
+
+def test_subquery_inherits_graph_context(spark):
+    r = ranges(spark)
+    # default graph = the FULL history (what cli.run_query supplies);
+    # the subquery sits inside GRAPH rev:global/6 and must count only
+    # the snapshot (Q1: 1 live P0 fact at rev 6, not 2 historical)
+    triples = r.select("subj", "pred", "obj")
+    q = (
+        "SELECT ?s ?n ?x WHERE { GRAPH rev:global/6 { "
+        "{ SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s P0 ?o } GROUP BY ?s } "
+        "?s P0 ?x } }"
+    )
+    out = sparql.evaluate(triples, q, ranges=r)
+    assert rows(out) == {("Q1", 1, "Q3"), ("Q9", 1, "Q1")}
+
+
+# --- UNION pad type on the encoded surface (round-5 verdict item 5) --------
+
+def test_union_null_pad_is_long_under_encode_const(spark):
+    enc = {"P1": 10, "P2": 11, "A": 1, "B": 2, "C": 3, "D": 4}
+    g = spark.createDataFrame(
+        [(1, 10, 2), (3, 11, 4)], "subj long, pred long, obj long"
+    )
+
+    def encode(term):
+        return enc[sparql.string_form(term)]
+
+    out = sparql.evaluate(
+        g,
+        "SELECT ?a ?b WHERE { { ?a P1 ?x } UNION { ?x P2 ?b } }",
+        encode_const=encode,
+    )
+    assert dict(out.dtypes) == {"a": "bigint", "b": "bigint"}
+    assert rows(out) == {(1, None), (None, 4)}

@@ -176,8 +176,14 @@ def test_graph_join_across_contexts(spark):
 
 def test_graph_errors(spark):
     r = ranges(spark)
-    with pytest.raises(sparql.SparqlError, match="variable GRAPH"):
-        sparql.evaluate(None, "SELECT ?s WHERE { GRAPH ?g { ?s ?p ?o } }",
+    # variable GRAPH is supported (bounded boundary enumeration) —
+    # but magic predicates / paths inside it are rejected loudly
+    with pytest.raises(sparql.SparqlError, match="GRAPH .var"):
+        sparql.evaluate(None,
+                        "SELECT ?g WHERE { GRAPH ?g { ?t hist:author ?w } }",
+                        ranges=r, turns=r)
+    with pytest.raises(sparql.SparqlError, match="GRAPH .var"):
+        sparql.evaluate(None, "SELECT ?g WHERE { GRAPH ?g { Q1 P0+ ?o } }",
                         ranges=r)
     with pytest.raises(sparql.SparqlError, match="unknown graph IRI"):
         sparql.evaluate(None, "SELECT ?s WHERE { GRAPH rev:bogus/1 { ?s ?p ?o } }",

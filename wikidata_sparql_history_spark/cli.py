@@ -78,6 +78,33 @@ def _emit_json(rows, cols, out):
     out.write("\n")
 
 
+# the store's short-form IRI shape — same token shape the SPARQL
+# lexer accepts as an IRI word (Q5, P0, rev:c1/3, kg:Entity); pure
+# numbers and anything with spaces/quotes/other punctuation is a
+# literal, and "lex@lang" serializes as a lang-tagged literal
+_IRI_SHAPE_RE = r"^[A-Za-z_][\w.\-]*(:[\w./\-]+)?$"
+_NUM_RE = r"^-?\d+(\.\d+)?$"
+_LANG_TAGGED_RE = r"^(.+)@([A-Za-z][A-Za-z0-9\-]*)$"
+
+
+def _nt_term(col):
+    """Term-aware N-Triples serialization of an OBJECT column
+    (round-5 advice: CONSTRUCT templates can emit literal objects —
+    epoch strings, free text — which must not print as <...> IRIs;
+    the reference's RDF writer is type-aware for free via RDF4J)."""
+    from .functions import rdf_terms as rt
+
+    is_iri = F.col(col).rlike(_IRI_SHAPE_RE) & ~F.col(col).rlike(_NUM_RE)
+    lang_lex = F.regexp_extract(F.col(col), _LANG_TAGGED_RE, 1)
+    lang_tag = F.regexp_extract(F.col(col), _LANG_TAGGED_RE, 2)
+    is_lang = (lang_lex != "") & ~is_iri
+    return (
+        F.when(is_iri, rt.nt_iri(F.col(col)))
+        .when(is_lang, rt.nt_literal(lang_lex, lang_tag))
+        .otherwise(rt.nt_literal(F.col(col)))
+    )
+
+
 def _emit_ntriples(df, max_rows, out):
     from .functions import rdf_terms as rt
 
@@ -92,7 +119,7 @@ def _emit_ntriples(df, max_rows, out):
                 F.lit(" "),
                 rt.nt_iri(F.col("pred")),
                 F.lit(" "),
-                rt.nt_iri(F.col("obj")),
+                _nt_term("obj"),
                 F.lit(" ."),
             ).alias("line")
         )
@@ -103,16 +130,62 @@ def _emit_ntriples(df, max_rows, out):
         out.write(r["line"] + "\n")
 
 
-def main(argv=None, spark=None, out=None):
+def _emit(df, fmt, max_rows, out):
+    if fmt == "ntriples":
+        _emit_ntriples(df, max_rows, out)
+    else:
+        rows = df.limit(max_rows).collect()
+        if fmt == "tsv":
+            _emit_tsv(rows, df.columns, out)
+        else:
+            _emit_json(rows, df.columns, out)
+
+
+def serve(spark, store: str, fmt: str, max_rows: int, inp, out):
+    """Long-lived session (the SparqlEndpoint.java:154-201 analog,
+    minus HTTP): the store loads ONCE, then each line of `inp` is one
+    SPARQL query evaluated warm — amortizing the store-load cost the
+    one-shot path pays per invocation. Results print in `fmt`
+    followed by one blank separator line; a query error prints one
+    `!error: ...` line instead of killing the session (the endpoint
+    returns 400 and keeps serving). EOF or the line `exit` stops."""
+    from .plans import sparql as sparql_mod
+
+    ranges, turns = _load(spark, store)
+    triples = ranges.select("subj", "pred", "obj")
+    for line in inp:
+        query = line.strip()
+        if not query:
+            continue
+        if query == "exit":
+            break
+        try:
+            df = sparql_mod.evaluate(
+                triples, query, ranges=ranges, turns=turns
+            )
+            _emit(df, fmt, max_rows, out)
+        except (sparql_mod.SparqlError, SystemExit) as e:
+            out.write(f"!error: {e}\n")
+        out.write("\n")
+        out.flush()
+    return 0
+
+
+def main(argv=None, spark=None, out=None, inp=None):
     ap = argparse.ArgumentParser(prog="wikidata_sparql_history_spark.cli")
     ap.add_argument("--store", required=True,
                     help="run_pipeline output directory")
-    ap.add_argument("--query", "-q", required=True, help="SPARQL text")
+    ap.add_argument("--query", "-q", help="SPARQL text (one-shot mode)")
+    ap.add_argument("--serve", action="store_true",
+                    help="read queries from stdin, one per line, against "
+                         "the once-loaded store (warm-query mode)")
     ap.add_argument("--format", choices=("tsv", "json", "ntriples"),
                     default="tsv")
     ap.add_argument("--max-rows", type=int, default=1000)
     args = ap.parse_args(argv)
     out = out or sys.stdout
+    if bool(args.query) == bool(args.serve):
+        ap.error("exactly one of --query / --serve is required")
 
     owned = spark is None
     if owned:
@@ -120,15 +193,11 @@ def main(argv=None, spark=None, out=None):
 
         spark = get_spark("sparql-cli")
     try:
+        if args.serve:
+            return serve(spark, args.store, args.format, args.max_rows,
+                         inp or sys.stdin, out)
         df = run_query(spark, args.store, args.query)
-        if args.format == "ntriples":
-            _emit_ntriples(df, args.max_rows, out)
-        else:
-            rows = df.limit(args.max_rows).collect()
-            if args.format == "tsv":
-                _emit_tsv(rows, df.columns, out)
-            else:
-                _emit_json(rows, df.columns, out)
+        _emit(df, args.format, args.max_rows, out)
     finally:
         if owned:
             spark.stop()

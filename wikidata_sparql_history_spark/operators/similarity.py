@@ -38,18 +38,22 @@ def with_cosine(pairs: DataFrame, left: str = "qvec", right: str = "embedding"):
 
 
 def _plan_row_bound(df: DataFrame) -> int | None:
-    """A conservative UPPER bound on the plan's row count from
-    Catalyst's sizeInBytes statistic (exact rowCount is rarely known
-    without CBO): no row is narrower than 8 bytes, so
-    rows <= sizeInBytes / 8. Lets the broadcast guard skip its count
-    job for small driver-local probe sets (round-4 verdict) while
-    still forcing the real check on anything plausibly large."""
+    """The plan's row count from Catalyst statistics, ONLY when it is
+    exact (rowCount defined — e.g. a driver-local relation or a
+    CBO-analyzed table). A sizeInBytes-derived bound is NOT safe here:
+    for file scans sizeInBytes is on-disk (compressed) bytes, which
+    can be well under 8 bytes/row on narrow or repetitive data, so a
+    derived "upper bound" could silently skip the broadcast guard for
+    a query set far larger than the cap (round-5 advice). Returns None
+    when unknown — callers fall back to the capped count job. Uses the
+    private `_jdf` bridge: on Spark Connect this returns None and the
+    (correct, slightly slower) count-job path always runs."""
     try:
         stats = df._jdf.queryExecution().optimizedPlan().stats()
         rc = stats.rowCount()
         if rc.isDefined():
             return int(str(rc.get()))
-        return int(str(stats.sizeInBytes())) // 8
+        return None
     except Exception:
         return None
 

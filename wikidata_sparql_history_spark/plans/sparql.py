@@ -10,20 +10,21 @@ HistoryEvaluationStatistics.java:41-106).
 
 Grammar (ANSI-ish EBNF, keywords case-insensitive)::
 
+    unit     := (PREFIX name ':' <iri> | BASE <iri>)* query
     query    := SELECT [DISTINCT] proj+ | '*'
                 WHERE group
                 [GROUP BY ?v+] [HAVING '(' (AGG '(' ?v ')' | ?v) op num ')']*
                 [ORDER BY (?v [DESC])+] [LIMIT n] [OFFSET n]
               | ASK [WHERE] group
               | CONSTRUCT '{' triple+ '}' WHERE group [LIMIT n]
-              | DESCRIBE constant
+              | DESCRIBE (constant | ?v WHERE group)
     proj     := ?v | '(' AGG '(' [DISTINCT] (?v | '*') ')' AS ?v ')'
     AGG      := COUNT | SUM | MIN | MAX | AVG
     group    := '{' element* '}'
     element  := triple '.'? | FILTER '(' expr ')'
               | FILTER [NOT] EXISTS group
               | OPTIONAL group | MINUS group
-              | GRAPH iri group | group (UNION group)+
+              | GRAPH (iri | ?v) group | group (UNION group)+
               | VALUES (?v | '(' ?v+ ')') '{' (row | UNDEF)+ '}'
               | BIND '(' bexpr AS ?v ')' | '{' SELECT-query '}'
     bexpr    := CONCAT '(' operand (',' operand)* ')'
@@ -33,13 +34,36 @@ Grammar (ANSI-ish EBNF, keywords case-insensitive)::
     pseq     := pelt ('/' pelt)*          — sequence
     pelt     := ['^'] pprim ['+'|'*'|'?'] — inverse / closure / optional
     pprim    := iri | '!' '(' iri ('|' iri)* ')' | '(' path ')'
-    expr     := ?v ('='|'!='|'<'|'>'|'<='|'>=') term
+    expr     := eand ('||' eand)*         — boolean disjunction
+    eand     := eprim ('&&' eprim)*       — boolean conjunction
+    eprim    := '(' expr ')'
+              | ?v ('='|'!='|'<'|'>'|'<='|'>=') (term | ?v)
               | REGEX '(' ?v ',' string ')'
     term     := ?v | <iri> | prefixed:name | bareword | number
               | '"lex"' ['@lang' | '^^datatype']
 
 Semantics notes (deviations from full SPARQL 1.1 are explicit):
 
+- PREFIX/BASE prologue (SPARQL 1.1 §4.1.1; RDF4J parses these natively
+  for the reference — HistoryRepository.java:144-154 — and the web UI
+  auto-prepends the registry in src/main/resources/prefixes.json):
+  declared prefixed names expand to full IRIs; UNdeclared prefixed
+  names keep the current bare-name behavior (they match the store's
+  short-form terms verbatim). BASE resolves relative `<...>` IRIs by
+  prepending; redefinition follows last-wins, as in SPARQL. The magic
+  predicates and rev: graph names are recognized in BOTH short and
+  full (schema.org / wikiba.se/history/ontology# /
+  wikidata.org/revision/) forms — Vocabulary.java:20-52.
+- GRAPH ?g { ... } (variable graph name, bounded form): ?g ranges over
+  the addition/deletion event contexts — rev:additions/N for every
+  distinct range_start N and rev:deletions/N for every finite
+  range_end — the reference's unbound-context UnionIteration
+  (RocksTripleSource.java:96-104) over the enumerable contexts. This
+  is ONE scan projecting the boundary as a graph column, not a
+  driver-side loop; global-state contexts are not enumerated (there is
+  one per revision, unbounded — name them explicitly). Patterns inside
+  a variable GRAPH must hit the triple store: magic predicates and
+  property paths are graph-independent there and are rejected loudly.
 - SELECT is MULTISET (duplicates preserved) unless DISTINCT is given —
   per the round-4 advice; the graph itself is still a set (input rows
   are DISTINCT'd on the three term columns: single-graph semantics).
@@ -64,8 +88,14 @@ Semantics notes (deviations from full SPARQL 1.1 are explicit):
   `turns=`; magic patterns ignore the GRAPH context (metadata is
   graph-independent in the reference too) and need a constant
   predicate — a variable predicate only matches the triple store.
-- FILTER: =, !=, <, >, <=, >= and REGEX(?v, "pat"). Ordered
-  comparisons against a numeric constant (bare number or
+- FILTER: =, !=, <, >, <=, >= and REGEX(?v, "pat"), composable with
+  && / || and parentheses (the ConjunctiveConstraintSplitter /
+  DisjunctiveConstraintOptimizer surface,
+  SimpleQueryPreparer.java:24-27 — here both compile to &/| Columns
+  and pushdown is Catalyst's job). The right-hand side may be a
+  second VARIABLE (?a != ?b): both sides compare in their native
+  column type (string lexicographic, long on the encoded surface).
+  Ordered comparisons against a numeric constant (bare number or
   ^^xsd:integer/decimal) compare numerically (cast to double);
   against a string/IRI they compare lexicographically — the
   CompareOptimizer surface (SimpleQueryPreparer.java:24-26).
@@ -104,8 +134,12 @@ Semantics notes (deviations from full SPARQL 1.1 are explicit):
   subquery scoping); aggregate subqueries compose with outer patterns.
 - Query forms: SELECT, ASK (one lazy boolean row `ask`), CONSTRUCT
   (template instantiation, DISTINCT per RDF set semantics, default
-  graph constants via encode_const too) and DESCRIBE <const> (all
-  default-graph triples mentioning the resource). LIMIT/OFFSET slice
+  graph constants via encode_const too) and DESCRIBE: either
+  DESCRIBE <const> (all default-graph triples mentioning the
+  resource) or DESCRIBE ?x WHERE { ... } (the RDF4J form the
+  reference serves — triples mentioning ANY solution binding of ?x;
+  compiled as two semi-joins against the distinct binding set, never
+  an OR-condition nested-loop join). LIMIT/OFFSET slice
   the solution sequence (OFFSET deterministic only under ORDER BY).
 - Joins on variables that may be unbound (after OPTIONAL/UNION) use
   strict NULL-rejecting equality, not SPARQL compatibility-join;
@@ -230,7 +264,18 @@ class Pattern:
 class FilterExpr:
     var: str
     op: str          # '=', '!=', '<', '>', '<=', '>=', 'regex'
-    term: Term       # for regex: Lit carrying the pattern
+    term: Term       # for regex: Lit carrying the pattern; may be a
+                     # Var (variable-variable comparison)
+
+
+@dataclass(frozen=True)
+class FilterAnd:
+    parts: tuple     # of FilterExpr | FilterAnd | FilterOr
+
+
+@dataclass(frozen=True)
+class FilterOr:
+    parts: tuple
 
 
 @dataclass(frozen=True)
@@ -240,8 +285,8 @@ class OptionalBlock:
 
 @dataclass(frozen=True)
 class GraphBlock:
-    kind: str        # 'state' | 'additions' | 'deletions'
-    rev: int
+    kind: str        # 'state' | 'additions' | 'deletions' | 'var'
+    rev: object      # int revision; the variable NAME for kind='var'
     group: tuple
 
 
@@ -312,12 +357,57 @@ class ConstructQuery:
 
 @dataclass(frozen=True)
 class DescribeQuery:
-    term: object     # constant Iri/Lit to describe
+    term: object     # constant Iri/Lit to describe, or a Var
+    group: tuple = ()  # WHERE group binding the Var (DESCRIBE ?x form)
 
 
 # --------------------------------------------------------------------------
-# tokenizer
+# prologue (PREFIX / BASE headers) + tokenizer
 # --------------------------------------------------------------------------
+
+_HEADER_RE = re.compile(
+    r"""\s*(?:
+        PREFIX\s+(?P<pfx>[A-Za-z_][\w.-]*)?:\s*<(?P<piri>[^<>\s]*)>
+      | BASE\s*<(?P<biri>[^<>\s]*)>
+    )""",
+    re.IGNORECASE | re.VERBOSE,
+)
+
+# an IRI with a scheme is absolute and never BASE-resolved (RFC 3986)
+_ABSOLUTE_IRI_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+
+
+def parse_headers(text: str):
+    """Strip the SPARQL prologue — leading PREFIX/BASE declarations
+    (SPARQL 1.1 §4.1.1; the reference gets this from RDF4J,
+    HistoryRepository.java:144-154, plus the auto-prepended registry
+    src/main/resources/prefixes.json). Returns (body, prefixes, base);
+    redefining a prefix (or BASE) is last-wins, as in SPARQL."""
+    prefixes: dict[str, str] = {}
+    base, pos = None, 0
+    while True:
+        m = _HEADER_RE.match(text, pos)
+        if not m:
+            break
+        pos = m.end()
+        if m.group("biri") is not None:
+            base = m.group("biri")
+        else:
+            prefixes[m.group("pfx") or ""] = m.group("piri")
+    return text[pos:], prefixes, base
+
+
+def _expand_prefixed(text: str, prefixes: dict) -> str:
+    """Expand `pfx:local` against a DECLARED prefix; undeclared
+    prefixed names keep the bare-name behavior (they are the store's
+    short-form terms)."""
+    if prefixes and ":" in text:
+        pfx, local = text.split(":", 1)
+        ns = prefixes.get(pfx)
+        if ns is not None:
+            return ns + local
+    return text
+
 
 _TOKEN_RE = re.compile(
     r"""
@@ -329,7 +419,7 @@ _TOKEN_RE = re.compile(
     | \?(?P<var>\w+)
     | (?P<num>-?\d+(?:\.\d+)?)
     | (?P<word>[A-Za-z_][\w.-]*(?::[\w./-]+)?)
-    | (?P<punct>\{|\}|\(|\)|,|\.|\*|!=|<=|>=|=|<|>|\||/|\^|\+|!|\?|-)
+    | (?P<punct>\{|\}|\(|\)|,|\.|\*|!=|<=|>=|=|<|>|\|\||&&|\||/|\^|\+|!|\?|-)
     """,
     re.VERBOSE,
 )
@@ -339,13 +429,19 @@ _KEYWORDS = {
     "GROUP", "ORDER", "BY", "LIMIT", "AS", "DESC", "ASC", "REGEX",
     "COUNT", "SUM", "MIN", "MAX", "AVG", "MINUS", "HAVING", "BIND",
     "VALUES", "EXISTS", "NOT", "UNDEF", "SERVICE", "OFFSET", "CONCAT",
-    "ASK", "CONSTRUCT", "DESCRIBE",
+    "ASK", "CONSTRUCT", "DESCRIBE", "PREFIX", "BASE",
 }
 _REJECTED_KEYWORDS = {"SERVICE", "OFFSET"}
 _AGG_FNS = ("COUNT", "SUM", "MIN", "MAX", "AVG")
 
 
-def _tokenize(text: str):
+def _tokenize(text: str, prefixes: dict | None = None, base: str | None = None):
+    """Tokenize the query body. `prefixes`/`base` come from the
+    prologue: prefixed names and datatypes expand against declared
+    prefixes; relative `<...>` IRIs resolve against BASE. Expansion
+    happens HERE (token production) so the parser and compiler only
+    ever see resolved terms."""
+    prefixes = prefixes or {}
     out, pos = [], 0
     while pos < len(text):
         m = _TOKEN_RE.match(text, pos)
@@ -355,10 +451,15 @@ def _tokenize(text: str):
         if m.group("ws"):
             continue
         if m.group("str") is not None:
-            out.append(("term", Lit(m.group("str"), m.group("lang"),
-                                    m.group("dtiri") or m.group("dtpfx"))))
+            dt = m.group("dtiri") or m.group("dtpfx")
+            if m.group("dtpfx") is not None:
+                dt = _expand_prefixed(dt, prefixes)
+            out.append(("term", Lit(m.group("str"), m.group("lang"), dt)))
         elif m.group("iri") is not None:
-            out.append(("term", Iri(m.group("iri"))))
+            iri = m.group("iri")
+            if base is not None and not _ABSOLUTE_IRI_RE.match(iri):
+                iri = base + iri
+            out.append(("term", Iri(iri)))
         elif m.group("var") is not None:
             out.append(("var", Var(m.group("var"))))
         elif m.group("num") is not None:
@@ -371,7 +472,7 @@ def _tokenize(text: str):
             if w.upper() in _KEYWORDS and ":" not in w:
                 out.append(("kw", w.upper()))
             else:
-                out.append(("term", Iri(w)))
+                out.append(("term", Iri(_expand_prefixed(w, prefixes))))
         else:
             out.append(("punct", m.group("punct")))
     return out
@@ -389,7 +490,8 @@ _GRAPH_KIND = {"global": "state", "additions": "additions",
 
 class _Parser:
     def __init__(self, text: str):
-        self.toks = _tokenize(text)
+        body, prefixes, base = parse_headers(text)
+        self.toks = _tokenize(body, prefixes, base)
         self.i = 0
 
     def _peek(self):
@@ -446,11 +548,18 @@ class _Parser:
         if not inner and k == "kw" and v == "DESCRIBE":
             self._next()
             tk, tv = self._next()
-            if tk != "term":
+            if tk not in ("term", "var"):
                 raise SparqlError(
-                    f"DESCRIBE needs a constant term, got {tv!r}")
+                    f"DESCRIBE needs a constant term or variable, got {tv!r}")
+            group: tuple = ()
+            if self._at_kw("WHERE"):
+                self._next()
+                group = self._parse_group()
             self._expect_end()
-            return DescribeQuery(tv)
+            if tk == "var" and not group:
+                raise SparqlError(
+                    f"DESCRIBE ?{tv.name} needs a WHERE clause binding it")
+            return DescribeQuery(tv, group)
         self._expect_kw("SELECT")
         distinct = False
         if self._at_kw("DISTINCT"):
@@ -660,9 +769,13 @@ class _Parser:
                 self._next()
                 gk, gv = self._next()
                 if gk == "var":
-                    raise SparqlError(
-                        "variable GRAPH names are unsupported: name a "
-                        "rev:global/N | rev:additions/N | rev:deletions/N IRI")
+                    # bounded variable-graph form: ?g enumerates the
+                    # addition/deletion boundary contexts
+                    elements.append(GraphBlock("var", gv.name,
+                                               self._parse_group()))
+                    if self._at_punct("."):
+                        self._next()
+                    continue
                 if gk != "term" or not isinstance(gv, Iri):
                     raise SparqlError(f"GRAPH needs an IRI, got {gv!r}")
                 m = _GRAPH_IRI_RE.match(gv.text)
@@ -841,7 +954,30 @@ class _Parser:
             return v
         raise SparqlError(f"bad path element near {v!r}")
 
-    def _parse_expr(self) -> FilterExpr:
+    def _parse_expr(self):
+        """Boolean FILTER expression: `||` over `&&` over primaries
+        (the ConjunctiveConstraintSplitter /
+        DisjunctiveConstraintOptimizer surface,
+        SimpleQueryPreparer.java:24-27)."""
+        parts = [self._parse_expr_and()]
+        while self._at_punct("||"):
+            self._next()
+            parts.append(self._parse_expr_and())
+        return parts[0] if len(parts) == 1 else FilterOr(tuple(parts))
+
+    def _parse_expr_and(self):
+        parts = [self._parse_expr_prim()]
+        while self._at_punct("&&"):
+            self._next()
+            parts.append(self._parse_expr_prim())
+        return parts[0] if len(parts) == 1 else FilterAnd(tuple(parts))
+
+    def _parse_expr_prim(self):
+        if self._at_punct("("):
+            self._next()
+            e = self._parse_expr()
+            self._expect_punct(")")
+            return e
         if self._at_kw("REGEX"):
             self._next()
             self._expect_punct("(")
@@ -861,8 +997,11 @@ class _Parser:
         if ok != "punct" or ov not in ("=", "!=", "<", ">", "<=", ">="):
             raise SparqlError(f"unsupported FILTER operator {ov!r}")
         tk, tv = self._next()
+        if tk == "var":
+            return FilterExpr(vv.name, ov, tv)   # ?a <op> ?b
         if tk != "term":
-            raise SparqlError(f"FILTER term must be a constant, got {tv!r}")
+            raise SparqlError(
+                f"FILTER term must be a constant or variable, got {tv!r}")
         return FilterExpr(vv.name, ov, tv)
 
 
@@ -881,6 +1020,28 @@ _MAGIC_PREDICATES = {
     "schema:isBasedOn", "hist:previousRevision", "hist:nextRevision",
     "hist:revisionId",
 }
+
+# full-IRI aliases (Vocabulary.java:20-35 — what a PREFIX-expanded
+# query produces with the reference's prefixes.json registry)
+_SCHEMA_NS = "http://schema.org/"
+_HIST_NS = "http://wikiba.se/history/ontology#"
+_MAGIC_FULL = {
+    _SCHEMA_NS + "about": "schema:about",
+    _SCHEMA_NS + "author": "schema:author",
+    _SCHEMA_NS + "dateCreated": "schema:dateCreated",
+    _SCHEMA_NS + "isBasedOn": "schema:isBasedOn",
+    _HIST_NS + "author": "hist:author",
+    _HIST_NS + "previousRevision": "hist:previousRevision",
+    _HIST_NS + "nextRevision": "hist:nextRevision",
+    _HIST_NS + "revisionId": "hist:revisionId",
+    _HIST_NS + "globalStateAt": "hist:globalStateAt",
+}
+
+
+def _magic_key(text: str) -> str:
+    """Canonical short form of a (possibly PREFIX-expanded) magic
+    predicate IRI; non-magic IRIs pass through unchanged."""
+    return _MAGIC_FULL.get(text, text)
 
 
 def _turn_iri(prefix="") -> F.Column:
@@ -909,8 +1070,12 @@ class _Ctx:
         return string_form(term)
 
     def source(self, graph):
-        """(subj, pred, obj) relation for the active graph context."""
+        """(subj, pred, obj) relation for the active graph context;
+        for a variable GRAPH, (gctx, subj, pred, obj) with gctx the
+        context IRI the variable binds to."""
         key = graph or ("default",)
+        if graph is not None and graph[0] == "var":
+            key = ("var",)   # var-name-independent; share across blocks
         if key in self._sources:
             return self._sources[key]
         if graph is None:
@@ -918,6 +1083,26 @@ class _Ctx:
                 raise SparqlError(
                     "pattern outside GRAPH needs a default-graph DataFrame")
             df = self.triples.select("subj", "pred", "obj").distinct()
+        elif graph[0] == "var":
+            # bounded unbound-context enumeration
+            # (RocksTripleSource.java:96-104 UnionIteration): every
+            # addition/deletion event names a context, and the events
+            # ARE the range boundaries — so the "enumeration" is ONE
+            # scan projecting the boundary as the graph column, no
+            # driver-side loop and no per-context job
+            if self.ranges is None:
+                raise SparqlError("GRAPH blocks need ranges= (the coalesced "
+                                  "validity-range table)")
+            r = self.ranges
+            adds = r.select(
+                F.concat(F.lit("rev:additions/"),
+                         F.col("range_start").cast("string")).alias("gctx"),
+                "subj", "pred", "obj")
+            dels = r.filter(F.col("range_end") != LONG_MAX).select(
+                F.concat(F.lit("rev:deletions/"),
+                         F.col("range_end").cast("string")).alias("gctx"),
+                "subj", "pred", "obj")
+            df = adds.unionByName(dels).distinct()
         else:
             if self.ranges is None:
                 raise SparqlError("GRAPH blocks need ranges= (the coalesced "
@@ -1002,8 +1187,16 @@ def _path_edges(p, g: DataFrame, ctx: _Ctx, seed=None) -> DataFrame:
             _path_edges(p.p, g, ctx), seeds=seed
         )
     if isinstance(p, PathStar):
+        nodes = _node_universe(g)
+        if seed is not None:
+            # a bound subject is in the zero-length identity domain
+            # even when absent from the graph (SPARQL ZeroOrMorePath:
+            # <s> p* ?o always yields (s, s)) — round-5 advice
+            nodes = nodes.unionByName(
+                seed.select(F.col("src").alias("node"))
+            ).distinct()
         return paths.zero_or_more(
-            _path_edges(p.p, g, ctx), nodes=_node_universe(g), seeds=seed
+            _path_edges(p.p, g, ctx), nodes=nodes, seeds=seed
         )
     if isinstance(p, PathOpt):
         return paths.zero_or_one(
@@ -1036,11 +1229,17 @@ def _datetime_const(t) -> "object":
 
 def _compile_pattern(pat: Pattern, ctx: _Ctx, graph):
     """→ (DataFrame with v_<name> columns, bound var set)."""
-    if isinstance(pat.p, Iri) and pat.p.text == "hist:globalStateAt":
+    var_graph = graph is not None and graph[0] == "var"
+    if isinstance(pat.p, Iri) and _magic_key(pat.p.text) == "hist:globalStateAt":
         # as-of dispatch (RocksTripleSource.java:739-768): subject
         # binds to the first turn at-or-after the probe instant, one
         # per conversation (W4 semantics); the object must be the
         # constant date — an unbound probe would enumerate all instants
+        if var_graph:
+            raise SparqlError(
+                "magic predicates inside GRAPH ?var are unsupported: "
+                "metadata is graph-independent and would leave the graph "
+                "variable unbound")
         if ctx.turns is None:
             raise SparqlError(
                 "magic predicate hist:globalStateAt needs turns= (the "
@@ -1054,28 +1253,44 @@ def _compile_pattern(pat: Pattern, ctx: _Ctx, graph):
         ).select(_turn_iri().alias("ms"))
         positions = [("ms", pat.s)]
     elif isinstance(pat.p, _PATH_NODES):
+        if var_graph:
+            raise SparqlError(
+                "property paths inside GRAPH ?var are unsupported: paths "
+                "traverse one graph — name the context explicitly")
         g = ctx.source(graph)
         seed = None
         if not isinstance(pat.s, Var) and isinstance(
             pat.p, (PathPlus, PathStar)
         ):
             # bound-subject rewrite: seed the closure at the constant
-            # (the "seed with one step" PropertyPathOptimizer rewrite)
-            seed = (
-                g.select(F.lit(ctx.const(pat.s)).alias("src"))
-                .limit(1)
-            )
+            # (the "seed with one step" PropertyPathOptimizer rewrite).
+            # The one-row seed is a driver-local relation — NOT derived
+            # from g, whose emptiness would otherwise lose the
+            # zero-length (const, const) solution of p* (round-5
+            # advice: SPARQL ZeroOrMorePath yields the bound subject
+            # regardless of the graph's contents)
+            sval = ctx.const(pat.s)
+            styp = "long" if isinstance(sval, int) else "string"
+            seed = ctx.spark.createDataFrame([(sval,)], f"src {styp}")
         rel = _path_edges(pat.p, g, ctx, seed=seed)
         positions = [("src", pat.s), ("dst", pat.o)]
-    elif (isinstance(pat.p, Iri) and pat.p.text in _MAGIC_PREDICATES):
+    elif (isinstance(pat.p, Iri)
+          and _magic_key(pat.p.text) in _MAGIC_PREDICATES):
         if ctx.encode_const is not None:
             raise SparqlError(
                 "magic predicates are not available on the encoded surface")
-        rel = ctx.magic(pat.p.text)
+        if var_graph:
+            raise SparqlError(
+                "magic predicates inside GRAPH ?var are unsupported: "
+                "metadata is graph-independent and would leave the graph "
+                "variable unbound")
+        rel = ctx.magic(_magic_key(pat.p.text))
         positions = [("ms", pat.s), ("mo", pat.o)]
     else:
         rel = ctx.source(graph)
         positions = [("subj", pat.s), ("pred", pat.p), ("obj", pat.o)]
+        if var_graph:
+            positions.append(("gctx", Var(graph[1])))
 
     for col, term in positions:
         if not isinstance(term, Var):
@@ -1110,13 +1325,31 @@ def _join(acc, bound, df, vs, how="inner"):
     return acc, bound | vs
 
 
-def _filter_col(fe: FilterExpr, bound: set, ctx: _Ctx) -> F.Column:
+def _filter_col(fe, bound: set, ctx: _Ctx) -> F.Column:
+    if isinstance(fe, FilterAnd):
+        out = _filter_col(fe.parts[0], bound, ctx)
+        for p in fe.parts[1:]:
+            out = out & _filter_col(p, bound, ctx)
+        return out
+    if isinstance(fe, FilterOr):
+        out = _filter_col(fe.parts[0], bound, ctx)
+        for p in fe.parts[1:]:
+            out = out | _filter_col(p, bound, ctx)
+        return out
     if fe.var not in bound:
         raise SparqlError(f"FILTER references unbound variable ?{fe.var}")
     col = F.col(f"v_{fe.var}")
     if fe.op == "regex":
         return col.rlike(fe.term.lexical)
-    if ctx.encode_const is not None:
+    if isinstance(fe.term, Var):
+        # variable-variable comparison: both sides in their native
+        # column type (string lexicographic / long on the encoded
+        # surface) — no cast, so pushdown-friendly either way
+        if fe.term.name not in bound:
+            raise SparqlError(
+                f"FILTER references unbound variable ?{fe.term.name}")
+        rhs = F.col(f"v_{fe.term.name}")
+    elif ctx.encode_const is not None:
         rhs = F.lit(ctx.const(fe.term))
     elif fe.op in ("<", ">", "<=", ">=") and _is_numeric_const(fe.term):
         col = col.cast("double")
@@ -1152,7 +1385,7 @@ def _compile_group(group: tuple, ctx: _Ctx, graph=None):
     acc, bound = None, set()
     filters: list[FilterExpr] = []
     for el in group:
-        if isinstance(el, (FilterExpr, ExistsExpr)):
+        if isinstance(el, (FilterExpr, FilterAnd, FilterOr, ExistsExpr)):
             filters.append(el)           # filters scope to the whole group
         elif isinstance(el, Pattern):
             df, vs = _compile_pattern(el, ctx, graph)
@@ -1175,8 +1408,11 @@ def _compile_group(group: tuple, ctx: _Ctx, graph=None):
             # (SPARQL MINUS semantics, unlike NOT EXISTS)
         elif isinstance(el, SubqueryBlock):
             # SPARQL 1.1 subquery: evaluated bottom-up, only its
-            # projected variables join the outer group
-            df, vs = _compile_select(el.query, ctx)
+            # projected variables join the outer group. The ACTIVE
+            # graph context threads through (round-5 advice: a
+            # subquery nested inside GRAPH evaluates against that
+            # named snapshot, not the default graph)
+            df, vs = _compile_select(el.query, ctx, graph)
             acc, bound = _join(acc, bound, df, set(vs))
         elif isinstance(el, BindExpr):
             if acc is None:
@@ -1202,10 +1438,15 @@ def _compile_group(group: tuple, ctx: _Ctx, graph=None):
         elif isinstance(el, UnionBlock):
             branch_out = [_compile_group(b, ctx, graph) for b in el.branches]
             u_vars = set().union(*[vs for _, vs in branch_out])
+            # NULL padding carries the SURFACE's column type: long
+            # under encode_const, string otherwise — a string pad
+            # would silently coerce encoded int64 columns on union
+            # (round-5 verdict hardening item)
+            pad_type = "long" if ctx.encode_const is not None else "string"
             u = None
             for bdf, bvs in branch_out:
                 for v in sorted(u_vars - bvs):   # NULL-pad disjoint vars
-                    bdf = bdf.withColumn(f"v_{v}", F.lit(None).cast("string"))
+                    bdf = bdf.withColumn(f"v_{v}", F.lit(None).cast(pad_type))
                 u = bdf if u is None else u.unionByName(bdf)
             acc, bound = _join(acc, bound, u, u_vars)
         else:  # pragma: no cover
@@ -1297,8 +1538,28 @@ def evaluate(
             out = out.limit(q.limit)
         return out
     if isinstance(q, DescribeQuery):
-        # all triples mentioning the resource in the default graph
+        # all triples mentioning the resource(s) in the default graph
         g = ctx.source(None)
+        if isinstance(q.term, Var):
+            # DESCRIBE ?x WHERE {...} (the RDF4J form served by
+            # HistoryRepository): describe every solution binding.
+            # Two SEMI-joins against the distinct binding set — a
+            # single OR-condition join would force a nested-loop plan
+            acc, bound = _compile_group(q.group, ctx)
+            if q.term.name not in bound:
+                raise SparqlError(
+                    f"DESCRIBE ?{q.term.name}: the WHERE clause does not "
+                    "bind it")
+            vals = acc.select(
+                F.col(f"v_{q.term.name}").alias("_node")).distinct()
+            by_subj = g.join(
+                vals, g["subj"] == vals["_node"], "left_semi")
+            by_obj = g.join(
+                vals, g["obj"] == vals["_node"], "left_semi")
+            return by_subj.unionByName(by_obj).distinct()
+        if q.group:
+            raise SparqlError(
+                "DESCRIBE <const> does not take a WHERE clause")
         c = F.lit(ctx.const(q.term))
         return g.filter((F.col("subj") == c) | (F.col("obj") == c))
 
@@ -1306,10 +1567,11 @@ def evaluate(
     return acc.select(*[F.col(f"v_{v}").alias(v) for v in out_vars])
 
 
-def _compile_select(q: Query, ctx: _Ctx):
+def _compile_select(q: Query, ctx: _Ctx, graph=None):
     """Compile a SELECT query to (DataFrame with v_<name> columns,
-    projected var list) — shared by evaluate() and subquery blocks."""
-    acc, bound = _compile_group(q.group, ctx)
+    projected var list) — shared by evaluate() (graph=None) and
+    subquery blocks (which thread the enclosing GRAPH context)."""
+    acc, bound = _compile_group(q.group, ctx, graph)
 
     if q.select is None:
         if q.group_by:
