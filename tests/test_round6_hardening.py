@@ -254,3 +254,72 @@ def test_union_null_pad_is_long_under_encode_const(spark):
     )
     assert dict(out.dtypes) == {"a": "bigint", "b": "bigint"}
     assert rows(out) == {(1, None), (None, 4)}
+
+
+# --- broadcast guard trusts only exact stats (round-5 advice) --------------
+
+def test_plan_row_bound_exact_or_none(spark, tmp_path):
+    from wikidata_sparql_history_spark.operators import similarity as sim
+
+    # Range relation: Catalyst knows the exact rowCount
+    assert sim._plan_row_bound(spark.range(7)) == 7
+    # parquet scan without CBO stats: rowCount undefined — must return
+    # None (the old sizeInBytes//8 guess under-bounds on compressed
+    # data and would skip the broadcast guard), forcing the capped
+    # count-job fallback
+    p = str(tmp_path / "t.parquet")
+    spark.range(1000).selectExpr("id", "'x' AS pad").write.parquet(p)
+    assert sim._plan_row_bound(spark.read.parquet(p)) is None
+
+
+def test_cosine_topk_guard_still_raises(spark):
+    from pyspark.sql import functions as F
+    from wikidata_sparql_history_spark.operators import similarity as sim
+
+    emb = spark.range(5).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.rand(1), F.rand(2)).alias("embedding"),
+    )
+    q = spark.range(30).select(
+        F.col("id").alias("qid"),
+        F.array(F.rand(3), F.rand(4)).alias("qvec"),
+    )
+    with pytest.raises(ValueError, match="query side"):
+        sim.cosine_topk(emb, q, k=2, max_queries=10)
+
+
+# --- FILTER function subset (BOUND / CONTAINS / STRSTARTS / STRENDS / !) ---
+
+def test_filter_bound_after_optional(spark):
+    g = graph(spark)
+    # subjects of P1 whose object has NO outgoing P2 edge:
+    # OPTIONAL + !BOUND — the SPARQL-1.1 negation idiom RDF4J serves
+    q = ("SELECT ?s ?x WHERE { ?s P1 ?x . "
+         "OPTIONAL { ?x P2 ?y } . FILTER(!BOUND(?y)) }")
+    assert rows(sparql.evaluate(g, q)) == set()
+    q2 = ("SELECT DISTINCT ?s ?x WHERE { ?s P0 ?x . "
+          "OPTIONAL { ?x P2 ?y } . FILTER(!BOUND(?y)) }")
+    # Q7 P0 Q7: Q7 has no P2 edge → survives
+    assert rows(sparql.evaluate(g, q2)) == {("Q7", "Q7")}
+    q3 = ("SELECT DISTINCT ?s WHERE { ?s P1 ?x . "
+          "OPTIONAL { ?x P2 ?y } . FILTER(BOUND(?y)) }")
+    assert rows(sparql.evaluate(g, q3)) == {("Q7",), ("Q9",)}
+
+
+def test_filter_string_functions(spark):
+    g = graph(spark)
+    q = ('SELECT DISTINCT ?o WHERE { ?s P2 ?o . FILTER(STRENDS(?o, "5")) }')
+    assert rows(sparql.evaluate(g, q)) == {("Q5",)}
+    q2 = ('SELECT DISTINCT ?s WHERE { ?s ?p ?o . '
+          'FILTER(STRSTARTS(?s, "Q") && CONTAINS(?s, "9")) }')
+    assert rows(sparql.evaluate(g, q2)) == {("Q9",)}
+    q3 = ('SELECT DISTINCT ?s ?o WHERE { ?s P2 ?o . '
+          'FILTER(!CONTAINS(?o, "5")) }')
+    assert rows(sparql.evaluate(g, q3)) == {("Q3", "Q6")}
+
+
+def test_filter_not_composes(spark):
+    g = graph(spark)
+    q = ("SELECT DISTINCT ?s ?p ?o WHERE { ?s ?p ?o . "
+         "FILTER(!(?p = P1 || ?p = P2)) }")
+    assert rows(sparql.evaluate(g, q)) == {("Q7", "P0", "Q7")}

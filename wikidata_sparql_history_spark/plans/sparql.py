@@ -36,9 +36,10 @@ Grammar (ANSI-ish EBNF, keywords case-insensitive)::
     pprim    := iri | '!' '(' iri ('|' iri)* ')' | '(' path ')'
     expr     := eand ('||' eand)*         — boolean disjunction
     eand     := eprim ('&&' eprim)*       — boolean conjunction
-    eprim    := '(' expr ')'
+    eprim    := '!' eprim | '(' expr ')'
               | ?v ('='|'!='|'<'|'>'|'<='|'>=') (term | ?v)
-              | REGEX '(' ?v ',' string ')'
+              | REGEX '(' ?v ',' string ')' | BOUND '(' ?v ')'
+              | (CONTAINS|STRSTARTS|STRENDS) '(' ?v ',' string ')'
     term     := ?v | <iri> | prefixed:name | bareword | number
               | '"lex"' ['@lang' | '^^datatype']
 
@@ -88,8 +89,12 @@ Semantics notes (deviations from full SPARQL 1.1 are explicit):
   `turns=`; magic patterns ignore the GRAPH context (metadata is
   graph-independent in the reference too) and need a constant
   predicate — a variable predicate only matches the triple store.
-- FILTER: =, !=, <, >, <=, >= and REGEX(?v, "pat"), composable with
-  && / || and parentheses (the ConjunctiveConstraintSplitter /
+- FILTER: =, !=, <, >, <=, >=, REGEX(?v, "pat"), BOUND(?v) (NULL
+  test after OPTIONAL), and the string tests CONTAINS / STRSTARTS /
+  STRENDS(?v, "lit") — the SPARQL 1.1 function subset RDF4J hands
+  the reference; each compiles to one built-in Column op (contains /
+  startswith / endswith / isNotNull). All composable with
+  && / || / ! and parentheses (the ConjunctiveConstraintSplitter /
   DisjunctiveConstraintOptimizer surface,
   SimpleQueryPreparer.java:24-27 — here both compile to &/| Columns
   and pushdown is Catalyst's job). The right-hand side may be a
@@ -270,12 +275,17 @@ class FilterExpr:
 
 @dataclass(frozen=True)
 class FilterAnd:
-    parts: tuple     # of FilterExpr | FilterAnd | FilterOr
+    parts: tuple     # of FilterExpr | FilterAnd | FilterOr | FilterNot
 
 
 @dataclass(frozen=True)
 class FilterOr:
     parts: tuple
+
+
+@dataclass(frozen=True)
+class FilterNot:
+    part: object
 
 
 @dataclass(frozen=True)
@@ -430,6 +440,7 @@ _KEYWORDS = {
     "COUNT", "SUM", "MIN", "MAX", "AVG", "MINUS", "HAVING", "BIND",
     "VALUES", "EXISTS", "NOT", "UNDEF", "SERVICE", "OFFSET", "CONCAT",
     "ASK", "CONSTRUCT", "DESCRIBE", "PREFIX", "BASE",
+    "BOUND", "CONTAINS", "STRSTARTS", "STRENDS",
 }
 _REJECTED_KEYWORDS = {"SERVICE", "OFFSET"}
 _AGG_FNS = ("COUNT", "SUM", "MIN", "MAX", "AVG")
@@ -973,23 +984,34 @@ class _Parser:
         return parts[0] if len(parts) == 1 else FilterAnd(tuple(parts))
 
     def _parse_expr_prim(self):
+        if self._at_punct("!"):
+            self._next()
+            return FilterNot(self._parse_expr_prim())
         if self._at_punct("("):
             self._next()
             e = self._parse_expr()
             self._expect_punct(")")
             return e
-        if self._at_kw("REGEX"):
+        if self._at_kw("BOUND"):
             self._next()
             self._expect_punct("(")
             vk, vv = self._next()
             if vk != "var":
-                raise SparqlError(f"regex() needs a variable, got {vv!r}")
+                raise SparqlError(f"BOUND() needs a variable, got {vv!r}")
+            self._expect_punct(")")
+            return FilterExpr(vv.name, "bound", None)
+        if self._at_kw("REGEX", "CONTAINS", "STRSTARTS", "STRENDS"):
+            _, fn = self._next()
+            self._expect_punct("(")
+            vk, vv = self._next()
+            if vk != "var":
+                raise SparqlError(f"{fn}() needs a variable, got {vv!r}")
             self._expect_punct(",")
             pk, pv = self._next()
             if pk != "term" or not isinstance(pv, Lit):
-                raise SparqlError(f"regex() needs a string pattern, got {pv!r}")
+                raise SparqlError(f"{fn}() needs a string literal, got {pv!r}")
             self._expect_punct(")")
-            return FilterExpr(vv.name, "regex", pv)
+            return FilterExpr(vv.name, fn.lower(), pv)
         vk, vv = self._next()
         if vk != "var":
             raise SparqlError(f"FILTER needs ?var <op> term, got {vv!r}")
@@ -1336,11 +1358,20 @@ def _filter_col(fe, bound: set, ctx: _Ctx) -> F.Column:
         for p in fe.parts[1:]:
             out = out | _filter_col(p, bound, ctx)
         return out
+    if isinstance(fe, FilterNot):
+        return ~_filter_col(fe.part, bound, ctx)
     if fe.var not in bound:
         raise SparqlError(f"FILTER references unbound variable ?{fe.var}")
     col = F.col(f"v_{fe.var}")
+    if fe.op == "bound":
+        # NULL test — meaningful after OPTIONAL/UNION padding
+        return col.isNotNull()
     if fe.op == "regex":
         return col.rlike(fe.term.lexical)
+    if fe.op in ("contains", "strstarts", "strends"):
+        return {"contains": col.contains(fe.term.lexical),
+                "strstarts": col.startswith(fe.term.lexical),
+                "strends": col.endswith(fe.term.lexical)}[fe.op]
     if isinstance(fe.term, Var):
         # variable-variable comparison: both sides in their native
         # column type (string lexicographic / long on the encoded
@@ -1385,7 +1416,8 @@ def _compile_group(group: tuple, ctx: _Ctx, graph=None):
     acc, bound = None, set()
     filters: list[FilterExpr] = []
     for el in group:
-        if isinstance(el, (FilterExpr, FilterAnd, FilterOr, ExistsExpr)):
+        if isinstance(el, (FilterExpr, FilterAnd, FilterOr, FilterNot,
+                           ExistsExpr)):
             filters.append(el)           # filters scope to the whole group
         elif isinstance(el, Pattern):
             df, vs = _compile_pattern(el, ctx, graph)
