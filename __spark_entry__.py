@@ -1225,6 +1225,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_sparql_filter_fn"] = kg_sparql_filter_fn
 
+    def kg_sparql_filter_arith(spark, sf):
+        # arithmetic inside FILTER (the round-5 "missing" item 3
+        # remainder): one LHS arithmetic step forcing a numeric
+        # comparison, over a magic-predicate binding
+        from wikidata_sparql_history_spark.plans import sparql
+
+        return sparql.evaluate(
+            None,
+            "SELECT DISTINCT ?t ?r WHERE { ?t hist:revisionId ?r . "
+            "FILTER(?r * 2 >= 10) }",
+            turns=_kg_turns(spark, sf),
+        )
+
+    q["kg_sparql_filter_arith"] = kg_sparql_filter_arith
+
     def kg_entity_terms(spark, sf):
         # terms emission (RdfBuilder.java:205-217): per-entity
         # lang-tagged label/description/alias rows with BCP-47
@@ -1978,7 +1993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (a) new in round 6
         "kg_sparql_prefixed", "kg_sparql_graph_var",
         "kg_sparql_filter_bool", "kg_sparql_describe_where",
-        "kg_sparql_filter_fn",
+        "kg_sparql_filter_fn", "kg_sparql_filter_arith",
         # (b) module changed since last green: plans/sparql.py
         "kg_sparql_state_at", "kg_sparql_join",
         "kg_sparql_graph_state", "kg_sparql_graph_deltas",
@@ -1999,14 +2014,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_turn_order", "kg_extract", "kg_linked", "language_id",
         "agg_rollup_events", "media_feature_stats", "simhash_docs",
         "fingerprint_docs",
-        # (d) r4-latest fill (12 slots): the pipeline core + the one
+        # (d) r4-latest fill (11 slots): the pipeline core + the one
         # r5 bench outlier (kg_statements_reified) + streaming trio
         "kg_ranges", "kg_statements_reified",
         "kg_statement_qualifiers", "kg_statement_value_nodes",
         "kg_sql_state_at", "kg_sql_canonical_map",
         "kg_stream_extract", "kg_stream_window",
         "kg_stream_state_deltas", "merge_ranges_union",
-        "kg_incremental_rebuild", "rdf_nt_roundtrip",
+        "kg_incremental_rebuild",
     ]
     missing = [k for k in head if k not in q]
     assert not missing, f"ordering references unknown queries: {missing}"
@@ -2368,6 +2383,13 @@ def oracle_sql() -> dict[str, str]:
            SELECT DISTINCT subj AS s, obj AS o FROM st
            WHERE pred = 'P0' AND obj LIKE 'Q%'
              AND obj NOT IN (SELECT subj FROM st WHERE pred = 'P1')""",
+        "kg_sparql_filter_arith": kg
+        + """SELECT DISTINCT
+               'rev:' || conv_id || '/' ||
+                 CAST(CAST(turn_idx AS BIGINT) AS VARCHAR) AS t,
+               CAST(CAST(turn_idx AS BIGINT) AS VARCHAR) AS r
+             FROM transcripts
+             WHERE CAST(CAST(turn_idx AS BIGINT) AS DOUBLE) * 2 >= 10""",
         "kg_sql_canonical_map": f"""
             WITH RECURSIVE aliases AS ({synth.alias_edges_sql()}),
             walk AS (

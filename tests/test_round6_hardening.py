@@ -323,3 +323,38 @@ def test_filter_not_composes(spark):
     q = ("SELECT DISTINCT ?s ?p ?o WHERE { ?s ?p ?o . "
          "FILTER(!(?p = P1 || ?p = P2)) }")
     assert rows(sparql.evaluate(g, q)) == {("Q7", "P0", "Q7")}
+
+
+# --- arithmetic inside FILTER ----------------------------------------------
+
+def test_filter_arithmetic(spark):
+    t = turns(spark)
+    q = ("SELECT ?t WHERE { ?t hist:revisionId ?r . "
+         "FILTER(?r * 2 >= 6) }")
+    assert rows(sparql.evaluate(None, q, turns=t)) == {("rev:c1/3",)}
+    q2 = ("SELECT ?t WHERE { ?t hist:revisionId ?r . "
+          "FILTER(?r + 2 = 3) }")
+    assert rows(sparql.evaluate(None, q2, turns=t)) == {("rev:c1/1",)}
+
+
+def test_filter_arithmetic_var_rhs(spark):
+    t = turns(spark)
+    # ?r - 2 = ?p: turn 3 has parent 1 → 3-2=1 matches
+    q = ("SELECT ?t WHERE { ?t hist:revisionId ?r . "
+         "?t schema:isBasedOn ?p0 . ?p0 hist:revisionId ?p . "
+         "FILTER(?r - 2 = ?p) }")
+    assert rows(sparql.evaluate(None, q, turns=t)) == {("rev:c1/3",)}
+
+
+def test_filter_arithmetic_rejected_on_encoded(spark):
+    g = spark.createDataFrame([(1, 10, 2)], "subj long, pred long, obj long")
+    with pytest.raises(sparql.SparqlError, match="encoded surface"):
+        sparql.evaluate(
+            g, "SELECT ?o WHERE { ?s P1 ?o . FILTER(?o * 2 > 2) }",
+            encode_const=lambda t: 10,
+        ).collect()
+
+
+def test_filter_arithmetic_parse_errors():
+    with pytest.raises(sparql.SparqlError, match="numeric constant"):
+        sparql.parse("SELECT ?s WHERE { ?s P0 ?o . FILTER(?o * x > 2) }")

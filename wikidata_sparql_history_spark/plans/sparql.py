@@ -37,7 +37,8 @@ Grammar (ANSI-ish EBNF, keywords case-insensitive)::
     expr     := eand ('||' eand)*         — boolean disjunction
     eand     := eprim ('&&' eprim)*       — boolean conjunction
     eprim    := '!' eprim | '(' expr ')'
-              | ?v ('='|'!='|'<'|'>'|'<='|'>=') (term | ?v)
+              | ?v [('+'|'-'|'*'|'/') num]
+                ('='|'!='|'<'|'>'|'<='|'>=') (term | ?v)
               | REGEX '(' ?v ',' string ')' | BOUND '(' ?v ')'
               | (CONTAINS|STRSTARTS|STRENDS) '(' ?v ',' string ')'
     term     := ?v | <iri> | prefixed:name | bareword | number
@@ -93,7 +94,10 @@ Semantics notes (deviations from full SPARQL 1.1 are explicit):
   test after OPTIONAL), and the string tests CONTAINS / STRSTARTS /
   STRENDS(?v, "lit") — the SPARQL 1.1 function subset RDF4J hands
   the reference; each compiles to one built-in Column op (contains /
-  startswith / endswith / isNotNull). All composable with
+  startswith / endswith / isNotNull). The comparison's left side may
+  carry one arithmetic step (?v * 2 >= 10) — a numeric comparison,
+  rejected on the encoded surface where raw arithmetic on id·12+tag
+  compositions would be silently wrong. All composable with
   && / || / ! and parentheses (the ConjunctiveConstraintSplitter /
   DisjunctiveConstraintOptimizer surface,
   SimpleQueryPreparer.java:24-27 — here both compile to &/| Columns
@@ -268,9 +272,14 @@ class Pattern:
 @dataclass(frozen=True)
 class FilterExpr:
     var: str
-    op: str          # '=', '!=', '<', '>', '<=', '>=', 'regex'
-    term: Term       # for regex: Lit carrying the pattern; may be a
-                     # Var (variable-variable comparison)
+    op: str          # '=', '!=', '<', '>', '<=', '>=', 'regex',
+                     # 'bound', 'contains', 'strstarts', 'strends'
+    term: Term       # for regex/string fns: Lit carrying the pattern;
+                     # may be a Var (variable-variable comparison);
+                     # None for 'bound'
+    aop: Opt[str] = None     # LHS arithmetic: ?v <aop> aval <op> rhs
+    aval: Opt[float] = None  # (numeric comparison, rejected on the
+                             # encoded surface)
 
 
 @dataclass(frozen=True)
@@ -1015,16 +1024,26 @@ class _Parser:
         vk, vv = self._next()
         if vk != "var":
             raise SparqlError(f"FILTER needs ?var <op> term, got {vv!r}")
+        aop = aval = None
+        ak, av = self._peek()
+        if ak == "punct" and av in ("+", "-", "*", "/"):
+            # LHS arithmetic: ?v <aop> numeric-const <cmp> rhs
+            self._next()
+            nk, nv = self._next()
+            if nk != "term" or not _is_numeric_const(nv):
+                raise SparqlError(
+                    f"FILTER arithmetic needs a numeric constant, got {nv!r}")
+            aop, aval = av, float(nv.lexical)
         ok, ov = self._next()
         if ok != "punct" or ov not in ("=", "!=", "<", ">", "<=", ">="):
             raise SparqlError(f"unsupported FILTER operator {ov!r}")
         tk, tv = self._next()
         if tk == "var":
-            return FilterExpr(vv.name, ov, tv)   # ?a <op> ?b
+            return FilterExpr(vv.name, ov, tv, aop, aval)   # ?a <op> ?b
         if tk != "term":
             raise SparqlError(
                 f"FILTER term must be a constant or variable, got {tv!r}")
-        return FilterExpr(vv.name, ov, tv)
+        return FilterExpr(vv.name, ov, tv, aop, aval)
 
 
 def parse(query: str) -> Query:
@@ -1372,6 +1391,29 @@ def _filter_col(fe, bound: set, ctx: _Ctx) -> F.Column:
         return {"contains": col.contains(fe.term.lexical),
                 "strstarts": col.startswith(fe.term.lexical),
                 "strends": col.endswith(fe.term.lexical)}[fe.op]
+    if fe.aop is not None:
+        # LHS arithmetic forces a NUMERIC comparison; encoded-surface
+        # values are id·12+tag compositions on which raw arithmetic
+        # would be silently wrong — reject loudly there
+        if ctx.encode_const is not None:
+            raise SparqlError(
+                "arithmetic FILTER is unsupported on the encoded surface")
+        col = col.cast("double")
+        col = {"+": col + fe.aval, "-": col - fe.aval,
+               "*": col * fe.aval, "/": col / fe.aval}[fe.aop]
+        if isinstance(fe.term, Var):
+            if fe.term.name not in bound:
+                raise SparqlError(
+                    f"FILTER references unbound variable ?{fe.term.name}")
+            rhs = F.col(f"v_{fe.term.name}").cast("double")
+        elif _is_numeric_const(fe.term):
+            rhs = F.lit(float(fe.term.lexical))
+        else:
+            raise SparqlError(
+                "arithmetic FILTER needs a numeric or variable "
+                f"right-hand side, got {fe.term!r}")
+        return {"=": col == rhs, "!=": col != rhs, "<": col < rhs,
+                ">": col > rhs, "<=": col <= rhs, ">=": col >= rhs}[fe.op]
     if isinstance(fe.term, Var):
         # variable-variable comparison: both sides in their native
         # column type (string lexicographic / long on the encoded
