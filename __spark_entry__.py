@@ -1240,6 +1240,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_sparql_filter_arith"] = kg_sparql_filter_arith
 
+    def kg_sparql_from(spark, sf):
+        # SPARQL FROM dataset clause (RDF4J DatasetImpl): the default
+        # graph becomes the union of named snapshots — here
+        # additions@8 ∪ deletions@14, same relation as
+        # kg_sparql_graph_deltas but via the dataset clause
+        from wikidata_sparql_history_spark.plans import sparql
+
+        return sparql.evaluate(
+            None,
+            f"SELECT DISTINCT ?s ?p ?o FROM rev:additions/{STATE_REV} "
+            "FROM rev:deletions/14 WHERE { ?s ?p ?o }",
+            ranges=_kg_ranges(spark, sf),
+        )
+
+    q["kg_sparql_from"] = kg_sparql_from
+
+    def kg_sparql_agg_concat(spark, sf):
+        # SAMPLE + GROUP_CONCAT(; SEPARATOR) in text — deterministic
+        # conventions shared with the DataFrame surface
+        # (★agg_group_concat): sorted-DISTINCT concat, SAMPLE = MIN
+        from wikidata_sparql_history_spark.plans import sparql
+
+        return sparql.evaluate(
+            None,
+            'SELECT ?s (GROUP_CONCAT(?o; SEPARATOR=",") AS ?os) '
+            "(SAMPLE(?o) AS ?first) (COUNT(?o) AS ?n) WHERE "
+            f"{{ GRAPH <rev:global/{STATE_REV}> {{ ?s P0 ?o }} }} "
+            "GROUP BY ?s",
+            ranges=_kg_ranges(spark, sf),
+        )
+
+    q["kg_sparql_agg_concat"] = kg_sparql_agg_concat
+
     def kg_entity_terms(spark, sf):
         # terms emission (RdfBuilder.java:205-217): per-entity
         # lang-tagged label/description/alias rows with BCP-47
@@ -1994,6 +2027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_prefixed", "kg_sparql_graph_var",
         "kg_sparql_filter_bool", "kg_sparql_describe_where",
         "kg_sparql_filter_fn", "kg_sparql_filter_arith",
+        "kg_sparql_from", "kg_sparql_agg_concat",
         # (b) module changed since last green: plans/sparql.py
         "kg_sparql_state_at", "kg_sparql_join",
         "kg_sparql_graph_state", "kg_sparql_graph_deltas",
@@ -2014,14 +2048,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_turn_order", "kg_extract", "kg_linked", "language_id",
         "agg_rollup_events", "media_feature_stats", "simhash_docs",
         "fingerprint_docs",
-        # (d) r4-latest fill (11 slots): the pipeline core + the one
+        # (d) r4-latest fill (9 slots): the pipeline core + the one
         # r5 bench outlier (kg_statements_reified) + streaming trio
         "kg_ranges", "kg_statements_reified",
         "kg_statement_qualifiers", "kg_statement_value_nodes",
         "kg_sql_state_at", "kg_sql_canonical_map",
         "kg_stream_extract", "kg_stream_window",
-        "kg_stream_state_deltas", "merge_ranges_union",
-        "kg_incremental_rebuild",
+        "kg_stream_state_deltas",
     ]
     missing = [k for k in head if k not in q]
     assert not missing, f"ordering references unknown queries: {missing}"
@@ -2390,6 +2423,22 @@ def oracle_sql() -> dict[str, str]:
                CAST(CAST(turn_idx AS BIGINT) AS VARCHAR) AS r
              FROM transcripts
              WHERE CAST(CAST(turn_idx AS BIGINT) AS DOUBLE) * 2 >= 10""",
+        "kg_sparql_from": kg
+        + f"""SELECT DISTINCT s, p, o FROM (
+               SELECT subj AS s, pred AS p, obj AS o FROM ranges
+               WHERE range_start = {STATE_REV}
+               UNION ALL
+               SELECT subj, pred, obj FROM ranges WHERE range_end = 14)""",
+        "kg_sparql_agg_concat": kg
+        + f""", st AS (
+             SELECT DISTINCT subj, pred, obj FROM ranges
+             WHERE range_start <= {STATE_REV} AND {STATE_REV} < range_end
+           )
+           SELECT subj AS s,
+                  string_agg(DISTINCT obj, ',' ORDER BY obj) AS os,
+                  min(obj) AS first,
+                  CAST(count(obj) AS BIGINT) AS n
+           FROM st WHERE pred = 'P0' GROUP BY subj""",
         "kg_sql_canonical_map": f"""
             WITH RECURSIVE aliases AS ({synth.alias_edges_sql()}),
             walk AS (

@@ -358,3 +358,56 @@ def test_filter_arithmetic_rejected_on_encoded(spark):
 def test_filter_arithmetic_parse_errors():
     with pytest.raises(sparql.SparqlError, match="numeric constant"):
         sparql.parse("SELECT ?s WHERE { ?s P0 ?o . FILTER(?o * x > 2) }")
+
+
+# --- FROM dataset clause ---------------------------------------------------
+
+def test_from_single_graph(spark):
+    r = ranges(spark)
+    q = "SELECT DISTINCT ?s ?o FROM <rev:global/5> WHERE { ?s P0 ?o }"
+    assert rows(sparql.evaluate(None, q, ranges=r)) == {
+        ("Q1", "Q3"), ("Q9", "Q1")
+    }
+
+
+def test_from_merges_multiple_graphs(spark):
+    r = ranges(spark)
+    q = ("SELECT DISTINCT ?s ?o FROM rev:additions/5 FROM rev:deletions/5 "
+         "WHERE { ?s P0 ?o }")
+    assert rows(sparql.evaluate(None, q, ranges=r)) == {
+        ("Q1", "Q3"), ("Q9", "Q1"), ("Q1", "Q2")
+    }
+
+
+def test_from_errors(spark):
+    r = ranges(spark)
+    with pytest.raises(sparql.SparqlError, match="FROM NAMED"):
+        sparql.parse("SELECT ?s FROM NAMED <rev:global/5> WHERE { ?s P0 ?o }")
+    with pytest.raises(sparql.SparqlError, match="top-level"):
+        sparql.parse(
+            "SELECT ?s WHERE { { SELECT ?s FROM <rev:global/5> "
+            "WHERE { ?s P0 ?o } } }")
+    with pytest.raises(sparql.SparqlError, match="unknown graph IRI"):
+        sparql.parse("SELECT ?s FROM <http://ex.org/g> WHERE { ?s P0 ?o }")
+
+
+# --- SAMPLE / GROUP_CONCAT in query text -----------------------------------
+
+def test_group_concat_and_sample(spark):
+    g = graph(spark)
+    q = ('SELECT ?s (GROUP_CONCAT(?o; SEPARATOR=",") AS ?os) '
+         "(SAMPLE(?o) AS ?first) WHERE { ?s P2 ?o } GROUP BY ?s")
+    assert rows(sparql.evaluate(g, q)) == {("Q3", "Q5,Q6", "Q5")}
+
+
+def test_group_concat_default_separator(spark):
+    g = graph(spark)
+    q = ("SELECT ?s (GROUP_CONCAT(?o) AS ?os) WHERE { ?s P2 ?o } "
+         "GROUP BY ?s")
+    assert rows(sparql.evaluate(g, q)) == {("Q3", "Q5 Q6")}
+
+
+def test_separator_only_for_group_concat():
+    with pytest.raises(sparql.SparqlError, match="only valid in GROUP_CONCAT"):
+        sparql.parse(
+            'SELECT (SUM(?o; SEPARATOR=",") AS ?x) WHERE { ?s P0 ?o }')

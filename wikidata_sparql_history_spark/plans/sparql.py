@@ -12,14 +12,16 @@ Grammar (ANSI-ish EBNF, keywords case-insensitive)::
 
     unit     := (PREFIX name ':' <iri> | BASE <iri>)* query
     query    := SELECT [DISTINCT] proj+ | '*'
+                (FROM <rev-graph-iri>)*
                 WHERE group
                 [GROUP BY ?v+] [HAVING '(' (AGG '(' ?v ')' | ?v) op num ')']*
                 [ORDER BY (?v [DESC])+] [LIMIT n] [OFFSET n]
               | ASK [WHERE] group
               | CONSTRUCT '{' triple+ '}' WHERE group [LIMIT n]
               | DESCRIBE (constant | ?v WHERE group)
-    proj     := ?v | '(' AGG '(' [DISTINCT] (?v | '*') ')' AS ?v ')'
-    AGG      := COUNT | SUM | MIN | MAX | AVG
+    proj     := ?v | '(' AGG '(' [DISTINCT] (?v | '*')
+                [';' SEPARATOR '=' string] ')' AS ?v ')'
+    AGG      := COUNT | SUM | MIN | MAX | AVG | SAMPLE | GROUP_CONCAT
     group    := '{' element* '}'
     element  := triple '.'? | FILTER '(' expr ')'
               | FILTER [NOT] EXISTS group
@@ -141,6 +143,17 @@ Semantics notes (deviations from full SPARQL 1.1 are explicit):
 - Subqueries: a braced inner SELECT is evaluated bottom-up and joins
   the outer group on its PROJECTED variables only (SPARQL 1.1
   subquery scoping); aggregate subqueries compose with outer patterns.
+- FROM <rev:global/N | rev:additions/N | rev:deletions/N> (SPARQL
+  dataset clause, top-level SELECT only): the DEFAULT graph becomes
+  the union of the named snapshots, so bare patterns evaluate against
+  them (RDF4J DatasetImpl semantics). Multiple FROM merge; FROM NAMED
+  and FROM in subqueries are rejected loudly. Requires `ranges=`.
+- Aggregates additionally include SAMPLE (deterministic: MIN, the
+  same convention as the DataFrame surface's ★agg_group_concat) and
+  GROUP_CONCAT with an optional `; SEPARATOR="x"` (sorted-DISTINCT
+  concat — deterministic and engine-comparable, deviating from
+  SPARQL's input-order multiset concat, which is unordered in a
+  distributed engine anyway).
 - Query forms: SELECT, ASK (one lazy boolean row `ask`), CONSTRUCT
   (template instantiation, DISTINCT per RDF set semantics, default
   graph constants via encode_const too) and DESCRIBE: either
@@ -340,9 +353,11 @@ class BindExpr:
 @dataclass(frozen=True)
 class Projection:
     var: str                 # output name (agg alias or the variable)
-    agg: Opt[str] = None     # COUNT/SUM/MIN/MAX/AVG, None for plain var
+    agg: Opt[str] = None     # COUNT/SUM/MIN/MAX/AVG/SAMPLE/
+                             # GROUP_CONCAT, None for plain var
     arg: Opt[str] = None     # argument variable, '*' for COUNT(*)
     distinct: bool = False
+    sep: Opt[str] = None     # GROUP_CONCAT separator (default ' ')
 
 
 @dataclass
@@ -355,6 +370,7 @@ class Query:
     limit: Opt[int] = None
     having: list = field(default_factory=list)  # [(Projection|var, op, num)]
     offset: Opt[int] = None
+    from_graphs: list = field(default_factory=list)  # [(kind, rev)]
 
 
 @dataclass(frozen=True)
@@ -438,7 +454,7 @@ _TOKEN_RE = re.compile(
     | \?(?P<var>\w+)
     | (?P<num>-?\d+(?:\.\d+)?)
     | (?P<word>[A-Za-z_][\w.-]*(?::[\w./-]+)?)
-    | (?P<punct>\{|\}|\(|\)|,|\.|\*|!=|<=|>=|=|<|>|\|\||&&|\||/|\^|\+|!|\?|-)
+    | (?P<punct>\{|\}|\(|\)|,|\.|\*|!=|<=|>=|=|<|>|\|\||&&|\||/|\^|\+|!|\?|-|;)
     """,
     re.VERBOSE,
 )
@@ -450,9 +466,11 @@ _KEYWORDS = {
     "VALUES", "EXISTS", "NOT", "UNDEF", "SERVICE", "OFFSET", "CONCAT",
     "ASK", "CONSTRUCT", "DESCRIBE", "PREFIX", "BASE",
     "BOUND", "CONTAINS", "STRSTARTS", "STRENDS",
+    "FROM", "NAMED", "SAMPLE", "GROUP_CONCAT", "SEPARATOR",
 }
 _REJECTED_KEYWORDS = {"SERVICE", "OFFSET"}
-_AGG_FNS = ("COUNT", "SUM", "MIN", "MAX", "AVG")
+_AGG_FNS = ("COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE",
+            "GROUP_CONCAT")
 
 
 def _tokenize(text: str, prefixes: dict | None = None, base: str | None = None):
@@ -586,6 +604,25 @@ class _Parser:
             self._next()
             distinct = True
         select = self._parse_projections()
+        from_graphs = []
+        while self._at_kw("FROM"):
+            self._next()
+            if inner:
+                raise SparqlError(
+                    "FROM is only supported in the top-level query")
+            if self._at_kw("NAMED"):
+                raise SparqlError(
+                    "FROM NAMED is unsupported: name the context with a "
+                    "GRAPH block instead")
+            gk, gv = self._next()
+            if gk != "term" or not isinstance(gv, Iri):
+                raise SparqlError(f"FROM needs a graph IRI, got {gv!r}")
+            m = _GRAPH_IRI_RE.match(gv.text)
+            if not m:
+                raise SparqlError(
+                    f"unknown graph IRI {gv.text!r}: expected "
+                    "rev:global/N | rev:additions/N | rev:deletions/N")
+            from_graphs.append((_GRAPH_KIND[m.group(1)], int(m.group(2))))
         self._expect_kw("WHERE")
         group = self._parse_group()
         group_by, order, limit, having, offset = [], [], None, [], None
@@ -635,7 +672,7 @@ class _Parser:
             else:
                 raise SparqlError(f"trailing tokens at {self._peek()[1]!r}")
         return Query(distinct, select, group, group_by, order, limit,
-                     having, offset)
+                     having, offset, from_graphs)
 
     def _next_is_select(self) -> bool:
         nk, nv = (self.toks[self.i + 1]
@@ -712,7 +749,7 @@ class _Parser:
             elif k == "punct" and v == "(":
                 self._next()
                 kk, fn = self._next()
-                if kk != "kw" or fn not in ("COUNT", "SUM", "MIN", "MAX", "AVG"):
+                if kk != "kw" or fn not in _AGG_FNS:
                     raise SparqlError(f"unknown aggregate {fn!r}")
                 self._expect_punct("(")
                 agg_distinct = False
@@ -729,13 +766,29 @@ class _Parser:
                     if ak != "var":
                         raise SparqlError(f"aggregate needs a variable, got {av!r}")
                     arg = av.name
+                sep = None
+                if self._at_punct(";"):
+                    self._next()
+                    self._expect_kw("SEPARATOR")
+                    k2, v2 = self._next()
+                    if k2 != "punct" or v2 != "=":
+                        raise SparqlError(f"SEPARATOR needs '=', got {v2!r}")
+                    sk, sv = self._next()
+                    if sk != "term" or not isinstance(sv, Lit):
+                        raise SparqlError(
+                            f"SEPARATOR needs a string literal, got {sv!r}")
+                    if fn != "GROUP_CONCAT":
+                        raise SparqlError(
+                            f"SEPARATOR is only valid in GROUP_CONCAT, "
+                            f"not {fn}")
+                    sep = sv.lexical
                 self._expect_punct(")")
                 self._expect_kw("AS")
                 nk, nv = self._next()
                 if nk != "var":
                     raise SparqlError(f"AS needs a variable, got {nv!r}")
                 self._expect_punct(")")
-                projs.append(Projection(nv.name, fn, arg, agg_distinct))
+                projs.append(Projection(nv.name, fn, arg, agg_distinct, sep))
             else:
                 break
         if not projs:
@@ -1155,6 +1208,11 @@ class _Ctx:
         self._sources[key] = df
         return df
 
+    def set_default(self, df: DataFrame):
+        """Override the default graph (SPARQL FROM dataset clause —
+        RDF4J DatasetImpl): bare patterns now read `df`."""
+        self._sources[("default",)] = df
+
     def magic(self, pred: str):
         """(subject, object) relation for a magic predicate
         (RocksTripleSource.java:71-88 registry)."""
@@ -1555,6 +1613,16 @@ def _agg_col(p: Projection) -> F.Column:
             c = F.max(arg)
         elif p.agg == "SUM":
             c = F.sum(arg.cast("double"))
+        elif p.agg == "SAMPLE":
+            # deterministic SAMPLE = MIN (the ★agg_group_concat
+            # convention; SPARQL allows any member)
+            c = F.min(arg)
+        elif p.agg == "GROUP_CONCAT":
+            # sorted-DISTINCT concat: deterministic + engine-comparable
+            c = F.array_join(
+                F.sort_array(F.collect_set(arg.cast("string"))),
+                p.sep if p.sep is not None else " ",
+            )
         else:  # AVG
             c = F.avg(arg.cast("double"))
     if p.agg == "COUNT":
@@ -1637,6 +1705,15 @@ def evaluate(
         c = F.lit(ctx.const(q.term))
         return g.filter((F.col("subj") == c) | (F.col("obj") == c))
 
+    if q.from_graphs:
+        # FROM dataset clause: the default graph becomes the union of
+        # the named snapshots (one pruned scan each; multi-FROM merge
+        # dedups, since the default graph is a SET)
+        srcs = [ctx.source(g) for g in q.from_graphs]
+        merged = srcs[0]
+        for s in srcs[1:]:
+            merged = merged.unionByName(s)
+        ctx.set_default(merged.distinct() if len(srcs) > 1 else merged)
     acc, out_vars = _compile_select(q, ctx)
     return acc.select(*[F.col(f"v_{v}").alias(v) for v in out_vars])
 
