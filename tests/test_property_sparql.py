@@ -66,3 +66,67 @@ def test_bgp_matches_python_enumerator(spark, gc):
     want_vars, want = py_eval(triples, patterns)
     assert got_df.columns == want_vars
     assert {tuple(r) for r in got_df.collect()} == want
+
+
+# --- round 6: random boolean FILTER trees over one pattern ----------------
+
+# leaf comparisons over the bindings of { ?a ?p ?b }
+_LEAVES = [
+    ("?a = Q1", lambda e: e["a"] == "Q1"),
+    ("?a != ?b", lambda e: e["a"] != e["b"]),
+    ("?p = P1", lambda e: e["p"] == "P1"),
+    ('STRSTARTS(?b, "Q")', lambda e: e["b"].startswith("Q")),
+    ('CONTAINS(?b, "2")', lambda e: "2" in e["b"]),
+    ("?b IN (Q1, Q3)", lambda e: e["b"] in ("Q1", "Q3")),
+]
+leaf = st.sampled_from(_LEAVES)
+
+
+def boolean_tree(depth):
+    if depth == 0:
+        return leaf
+    sub = boolean_tree(depth - 1)
+    return st.one_of(
+        leaf,
+        st.tuples(st.just("&&"), sub, sub),
+        st.tuples(st.just("||"), sub, sub),
+        st.tuples(st.just("!"), sub),
+    )
+
+
+def render(t):
+    if isinstance(t, tuple) and t[0] in ("&&", "||"):
+        return f"({render(t[1])} {t[0]} {render(t[2])})"
+    if isinstance(t, tuple) and t[0] == "!":
+        return f"!({render(t[1])})"
+    return t[0]
+
+
+def evaluate_tree(t, env):
+    if isinstance(t, tuple) and t[0] == "&&":
+        return evaluate_tree(t[1], env) and evaluate_tree(t[2], env)
+    if isinstance(t, tuple) and t[0] == "||":
+        return evaluate_tree(t[1], env) or evaluate_tree(t[2], env)
+    if isinstance(t, tuple) and t[0] == "!":
+        return not evaluate_tree(t[1], env)
+    return t[1](env)
+
+
+@settings(max_examples=12, deadline=None)
+@given(graph_st, boolean_tree(2))
+def test_boolean_filter_tree_matches_python(spark, triples, tree):
+    """Random &&/||/! trees over comparison / string-fn / IN leaves
+    must agree with a pure-python evaluator on every binding of
+    { ?a ?p ?b } — the deep guarantee behind ★kg_sparql_filter_bool /
+    ★kg_sparql_filter_fn."""
+    df = spark.createDataFrame(
+        list(set(triples)), "subj string, pred string, obj string"
+    )
+    q = f"SELECT ?a ?p ?b WHERE {{ ?a ?p ?b . FILTER({render(tree)}) }}"
+    got = {tuple(r) for r in sparql.evaluate(df, q).collect()}
+    want = {
+        (s, p, o)
+        for (s, p, o) in set(triples)
+        if evaluate_tree(tree, {"a": s, "p": p, "b": o})
+    }
+    assert got == want

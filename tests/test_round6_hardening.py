@@ -411,3 +411,58 @@ def test_separator_only_for_group_concat():
     with pytest.raises(sparql.SparqlError, match="only valid in GROUP_CONCAT"):
         sparql.parse(
             'SELECT (SUM(?o; SEPARATOR=",") AS ?x) WHERE { ?s P0 ?o }')
+
+
+# --- IN / NOT IN membership filters ----------------------------------------
+
+def test_filter_in_and_not_in(spark):
+    g = graph(spark)
+    q = "SELECT DISTINCT ?s WHERE { ?s ?p ?o . FILTER(?s IN (Q7, Q9)) }"
+    assert rows(sparql.evaluate(g, q)) == {("Q7",), ("Q9",)}
+    q2 = ("SELECT DISTINCT ?s WHERE { ?s ?p ?o . "
+          "FILTER(?s NOT IN (Q7, Q9)) }")
+    assert rows(sparql.evaluate(g, q2)) == {("Q3",)}
+    # composes inside boolean expressions
+    q3 = ("SELECT DISTINCT ?s ?o WHERE { ?s ?p ?o . "
+          'FILTER(?s IN (Q3) && STRENDS(?o, "6")) }')
+    assert rows(sparql.evaluate(g, q3)) == {("Q3", "Q6")}
+
+
+def test_filter_in_encoded_surface(spark):
+    enc = {"P1": 10, "A": 1, "B": 2}
+    g = spark.createDataFrame(
+        [(1, 10, 2), (2, 10, 1)], "subj long, pred long, obj long"
+    )
+    out = sparql.evaluate(
+        g, "SELECT ?s WHERE { ?s P1 ?o . FILTER(?s IN (A)) }",
+        encode_const=lambda t: enc[sparql.string_form(t)],
+    )
+    assert rows(out) == {(1,)}
+
+
+def test_filter_in_parse_errors():
+    with pytest.raises(sparql.SparqlError, match="constant terms"):
+        sparql.parse("SELECT ?s WHERE { ?s P0 ?o . FILTER(?s IN (?x)) }")
+
+
+# --- compound FILTER pushdown reaches the parquet scan ---------------------
+
+def test_compound_filter_pushes_to_scan(spark, tmp_path):
+    p = str(tmp_path / "r6_pushdown")
+    graph(spark).write.parquet(p)
+    df = spark.read.parquet(p)
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        plan = (
+            sparql.evaluate(
+                df,
+                "SELECT DISTINCT ?s ?o WHERE { ?s ?p ?o . "
+                "FILTER(?p = P1 || ?p = P2) . FILTER(?s IN (Q3, Q9)) }",
+            )._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+    scan = plan.split("FileScan parquet")[1]
+    pushed = scan.split("PushedFilters:")[1].splitlines()[0]
+    assert "Or(EqualTo(pred,P1),EqualTo(pred,P2))" in pushed, pushed
+    assert "In(subj, [Q3,Q9])" in pushed, pushed

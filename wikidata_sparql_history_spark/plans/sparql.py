@@ -41,6 +41,7 @@ Grammar (ANSI-ish EBNF, keywords case-insensitive)::
     eprim    := '!' eprim | '(' expr ')'
               | ?v [('+'|'-'|'*'|'/') num]
                 ('='|'!='|'<'|'>'|'<='|'>=') (term | ?v)
+              | ?v [NOT] IN '(' const (',' const)* ')'
               | REGEX '(' ?v ',' string ')' | BOUND '(' ?v ')'
               | (CONTAINS|STRSTARTS|STRENDS) '(' ?v ',' string ')'
     term     := ?v | <iri> | prefixed:name | bareword | number
@@ -96,7 +97,10 @@ Semantics notes (deviations from full SPARQL 1.1 are explicit):
   test after OPTIONAL), and the string tests CONTAINS / STRSTARTS /
   STRENDS(?v, "lit") — the SPARQL 1.1 function subset RDF4J hands
   the reference; each compiles to one built-in Column op (contains /
-  startswith / endswith / isNotNull). The comparison's left side may
+  startswith / endswith / isNotNull). ?v [NOT] IN (c1, c2, ...)
+  compiles to one isin (an IN-list Catalyst pushes to the scan;
+  constants encode driver-side on the encoded surface). The
+  comparison's left side may
   carry one arithmetic step (?v * 2 >= 10) — a numeric comparison,
   rejected on the encoded surface where raw arithmetic on id·12+tag
   compositions would be silently wrong. All composable with
@@ -466,7 +470,7 @@ _KEYWORDS = {
     "VALUES", "EXISTS", "NOT", "UNDEF", "SERVICE", "OFFSET", "CONCAT",
     "ASK", "CONSTRUCT", "DESCRIBE", "PREFIX", "BASE",
     "BOUND", "CONTAINS", "STRSTARTS", "STRENDS",
-    "FROM", "NAMED", "SAMPLE", "GROUP_CONCAT", "SEPARATOR",
+    "FROM", "NAMED", "SAMPLE", "GROUP_CONCAT", "SEPARATOR", "IN",
 }
 _REJECTED_KEYWORDS = {"SERVICE", "OFFSET"}
 _AGG_FNS = ("COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE",
@@ -1077,6 +1081,27 @@ class _Parser:
         vk, vv = self._next()
         if vk != "var":
             raise SparqlError(f"FILTER needs ?var <op> term, got {vv!r}")
+        if self._at_kw("IN", "NOT"):
+            k2, v2 = self._next()
+            if v2 == "NOT":
+                self._expect_kw("IN")
+            self._expect_punct("(")
+            consts = []
+            while True:
+                tk, tv = self._next()
+                if tk != "term":
+                    raise SparqlError(
+                        f"IN list needs constant terms, got {tv!r}")
+                consts.append(tv)
+                if self._at_punct(","):
+                    self._next()
+                    continue
+                break
+            self._expect_punct(")")
+            if not consts:
+                raise SparqlError("IN needs at least one term")
+            return FilterExpr(
+                vv.name, "in" if v2 == "IN" else "not_in", tuple(consts))
         aop = aval = None
         ak, av = self._peek()
         if ak == "punct" and av in ("+", "-", "*", "/"):
@@ -1445,6 +1470,12 @@ def _filter_col(fe, bound: set, ctx: _Ctx) -> F.Column:
         return col.isNotNull()
     if fe.op == "regex":
         return col.rlike(fe.term.lexical)
+    if fe.op in ("in", "not_in"):
+        # membership against a constant list (RDF4J In/CompareAll):
+        # one isin — an IN-list Catalyst pushes to the scan; constants
+        # go through the encoder on the encoded surface
+        vals = [ctx.const(t) for t in fe.term]
+        return col.isin(vals) if fe.op == "in" else ~col.isin(vals)
     if fe.op in ("contains", "strstarts", "strends"):
         return {"contains": col.contains(fe.term.lexical),
                 "strstarts": col.startswith(fe.term.lexical),
