@@ -1273,6 +1273,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_sparql_agg_concat"] = kg_sparql_agg_concat
 
+    def kg_sparql_lang(spark, sf):
+        # LANG() over a lang-tagged label graph built from the terms
+        # emission (RdfBuilder label rows → lex@lang string_form):
+        # English labels only — the everyday Wikidata-query idiom
+        # FILTER(LANG(?label) = "en")
+        from wikidata_sparql_history_spark.pipeline import terms
+        from wikidata_sparql_history_spark.plans import sparql
+
+        tr = terms.entity_terms(_kg_ranges(spark, sf))
+        labels = tr.filter(F.col("term_type") == "label").select(
+            F.col("entity").alias("subj"),
+            F.lit("rdfs:label").alias("pred"),
+            F.concat(F.col("text"), F.lit("@"), F.col("lang")).alias("obj"),
+        )
+        return sparql.evaluate(
+            labels,
+            "SELECT DISTINCT ?s ?o WHERE { ?s rdfs:label ?o . "
+            'FILTER(LANG(?o) = "en") }',
+        )
+
+    q["kg_sparql_lang"] = kg_sparql_lang
+
     def kg_entity_terms(spark, sf):
         # terms emission (RdfBuilder.java:205-217): per-entity
         # lang-tagged label/description/alias rows with BCP-47
@@ -2027,7 +2049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_prefixed", "kg_sparql_graph_var",
         "kg_sparql_filter_bool", "kg_sparql_describe_where",
         "kg_sparql_filter_fn", "kg_sparql_filter_arith",
-        "kg_sparql_from", "kg_sparql_agg_concat",
+        "kg_sparql_from", "kg_sparql_agg_concat", "kg_sparql_lang",
         # (b) module changed since last green: plans/sparql.py
         "kg_sparql_state_at", "kg_sparql_join",
         "kg_sparql_graph_state", "kg_sparql_graph_deltas",
@@ -2048,13 +2070,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_turn_order", "kg_extract", "kg_linked", "language_id",
         "agg_rollup_events", "media_feature_stats", "simhash_docs",
         "fingerprint_docs",
-        # (d) r4-latest fill (9 slots): the pipeline core + the one
-        # r5 bench outlier (kg_statements_reified) + streaming trio
+        # (d) r4-latest fill (8 slots): the pipeline core + the one
+        # r5 bench outlier (kg_statements_reified) + streaming pair
         "kg_ranges", "kg_statements_reified",
         "kg_statement_qualifiers", "kg_statement_value_nodes",
         "kg_sql_state_at", "kg_sql_canonical_map",
         "kg_stream_extract", "kg_stream_window",
-        "kg_stream_state_deltas",
     ]
     missing = [k for k in head if k not in q]
     assert not missing, f"ordering references unknown queries: {missing}"
@@ -2439,6 +2460,18 @@ def oracle_sql() -> dict[str, str]:
                   min(obj) AS first,
                   CAST(count(obj) AS BIGINT) AS n
            FROM st WHERE pred = 'P0' GROUP BY subj""",
+        # the label-rows subset of the kg_entity_terms derivation:
+        # labels carry lang index k%5, 'en' ⇔ k%5 = 0
+        "kg_sparql_lang": kg
+        + r""", ents AS (
+             SELECT DISTINCT e AS entity FROM (
+               SELECT subj AS e FROM ranges UNION ALL SELECT obj FROM ranges)
+             WHERE regexp_matches(e, '^Q\d+$')
+           ),
+           ek AS (SELECT entity, CAST(substr(entity, 2) AS BIGINT) AS k
+                  FROM ents)
+           SELECT entity AS s, 'entity ' || k || '@en' AS o
+           FROM ek WHERE k % 5 = 0""",
         "kg_sql_canonical_map": f"""
             WITH RECURSIVE aliases AS ({synth.alias_edges_sql()}),
             walk AS (

@@ -466,3 +466,37 @@ def test_compound_filter_pushes_to_scan(spark, tmp_path):
     pushed = scan.split("PushedFilters:")[1].splitlines()[0]
     assert "Or(EqualTo(pred,P1),EqualTo(pred,P2))" in pushed, pushed
     assert "In(subj, [Q3,Q9])" in pushed, pushed
+
+
+# --- STR() / LANG() over the lex@lang convention ---------------------------
+
+def test_filter_lang_and_str(spark):
+    g = spark.createDataFrame(
+        [
+            ("Q1", "rdfs:label", "hello@en"),
+            ("Q1", "rdfs:label", "bonjour@fr"),
+            ("Q1", "rdfs:label", "plain"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    q = ('SELECT ?o WHERE { Q1 rdfs:label ?o . FILTER(LANG(?o) = "en") }')
+    assert rows(sparql.evaluate(g, q)) == {("hello@en",)}
+    # SPARQL: LANG of a plain literal is ""
+    q2 = ('SELECT ?o WHERE { Q1 rdfs:label ?o . FILTER(LANG(?o) = "") }')
+    assert rows(sparql.evaluate(g, q2)) == {("plain",)}
+    q3 = ('SELECT ?o WHERE { Q1 rdfs:label ?o . '
+          'FILTER(STR(?o) = "bonjour") }')
+    assert rows(sparql.evaluate(g, q3)) == {("bonjour@fr",)}
+    # composes: non-English tagged labels
+    q4 = ('SELECT ?o WHERE { Q1 rdfs:label ?o . '
+          'FILTER(LANG(?o) != "en" && LANG(?o) != "") }')
+    assert rows(sparql.evaluate(g, q4)) == {("bonjour@fr",)}
+
+
+def test_filter_lang_rejected_on_encoded(spark):
+    g = spark.createDataFrame([(1, 10, 2)], "subj long, pred long, obj long")
+    with pytest.raises(sparql.SparqlError, match="encoded surface"):
+        sparql.evaluate(
+            g, 'SELECT ?o WHERE { ?s P1 ?o . FILTER(LANG(?o) = "en") }',
+            encode_const=lambda t: 10,
+        ).collect()

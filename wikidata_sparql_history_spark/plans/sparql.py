@@ -42,6 +42,7 @@ Grammar (ANSI-ish EBNF, keywords case-insensitive)::
               | ?v [('+'|'-'|'*'|'/') num]
                 ('='|'!='|'<'|'>'|'<='|'>=') (term | ?v)
               | ?v [NOT] IN '(' const (',' const)* ')'
+              | (STR|LANG) '(' ?v ')' ('='|'!=') const
               | REGEX '(' ?v ',' string ')' | BOUND '(' ?v ')'
               | (CONTAINS|STRSTARTS|STRENDS) '(' ?v ',' string ')'
     term     := ?v | <iri> | prefixed:name | bareword | number
@@ -99,8 +100,11 @@ Semantics notes (deviations from full SPARQL 1.1 are explicit):
   the reference; each compiles to one built-in Column op (contains /
   startswith / endswith / isNotNull). ?v [NOT] IN (c1, c2, ...)
   compiles to one isin (an IN-list Catalyst pushes to the scan;
-  constants encode driver-side on the encoded surface). The
-  comparison's left side may
+  constants encode driver-side on the encoded surface). STR(?v) and
+  LANG(?v) compare (=/!=) the lexical part / language tag of the
+  lex@lang string convention (LANG yields "" for untagged values,
+  as SPARQL does for plain literals; rejected on the encoded surface
+  where lexical forms do not exist). The comparison's left side may
   carry one arithmetic step (?v * 2 >= 10) — a numeric comparison,
   rejected on the encoded surface where raw arithmetic on id·12+tag
   compositions would be silently wrong. All composable with
@@ -297,6 +301,8 @@ class FilterExpr:
     aop: Opt[str] = None     # LHS arithmetic: ?v <aop> aval <op> rhs
     aval: Opt[float] = None  # (numeric comparison, rejected on the
                              # encoded surface)
+    fn: Opt[str] = None      # 'str' | 'lang': unary LHS accessor over
+                             # the lex@lang string convention
 
 
 @dataclass(frozen=True)
@@ -471,6 +477,7 @@ _KEYWORDS = {
     "ASK", "CONSTRUCT", "DESCRIBE", "PREFIX", "BASE",
     "BOUND", "CONTAINS", "STRSTARTS", "STRENDS",
     "FROM", "NAMED", "SAMPLE", "GROUP_CONCAT", "SEPARATOR", "IN",
+    "STR", "LANG",
 }
 _REJECTED_KEYWORDS = {"SERVICE", "OFFSET"}
 _AGG_FNS = ("COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE",
@@ -1058,6 +1065,22 @@ class _Parser:
             e = self._parse_expr()
             self._expect_punct(")")
             return e
+        if self._at_kw("STR", "LANG"):
+            _, fn = self._next()
+            self._expect_punct("(")
+            vk, vv = self._next()
+            if vk != "var":
+                raise SparqlError(f"{fn}() needs a variable, got {vv!r}")
+            self._expect_punct(")")
+            ok2, ov2 = self._next()
+            if ok2 != "punct" or ov2 not in ("=", "!="):
+                raise SparqlError(
+                    f"{fn}() supports = / != comparisons, got {ov2!r}")
+            tk2, tv2 = self._next()
+            if tk2 != "term":
+                raise SparqlError(
+                    f"{fn}() comparison needs a constant, got {tv2!r}")
+            return FilterExpr(vv.name, ov2, tv2, fn=fn.lower())
         if self._at_kw("BOUND"):
             self._next()
             self._expect_punct("(")
@@ -1470,6 +1493,21 @@ def _filter_col(fe, bound: set, ctx: _Ctx) -> F.Column:
         return col.isNotNull()
     if fe.op == "regex":
         return col.rlike(fe.term.lexical)
+    if fe.fn in ("str", "lang"):
+        # unary accessors over the lex@lang string convention
+        # (string_form): LANG = the tag or '' (SPARQL returns "" for
+        # plain literals), STR = the lexical part. Lexical forms do
+        # not exist on the encoded surface — reject loudly there
+        if ctx.encode_const is not None:
+            raise SparqlError(
+                f"{fe.fn.upper()}() is unsupported on the encoded surface")
+        lang_re = r"^(.+)@([A-Za-z][A-Za-z0-9-]*)$"
+        if fe.fn == "lang":
+            col = F.regexp_extract(col, lang_re, 2)
+        else:
+            col = F.regexp_replace(col, r"@[A-Za-z][A-Za-z0-9-]*$", "")
+        rhs = F.lit(string_form(fe.term))
+        return col == rhs if fe.op == "=" else col != rhs
     if fe.op in ("in", "not_in"):
         # membership against a constant list (RDF4J In/CompareAll):
         # one isin — an IN-list Catalyst pushes to the scan; constants
