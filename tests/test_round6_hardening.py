@@ -500,3 +500,36 @@ def test_filter_lang_rejected_on_encoded(spark):
             g, 'SELECT ?o WHERE { ?s P1 ?o . FILTER(LANG(?o) = "en") }',
             encode_const=lambda t: 10,
         ).collect()
+
+
+# --- syntax compatibility: `a`, ORDER BY DESC(?v), blank nodes -------------
+
+def test_a_is_rdf_type_shorthand(spark):
+    g = spark.createDataFrame(
+        [("Q1", "rdf:type", "kg:Entity"), ("Q2", "P0", "Q1")],
+        "subj string, pred string, obj string",
+    )
+    q = "SELECT ?s WHERE { ?s a kg:Entity }"
+    assert rows(sparql.evaluate(g, q)) == {("Q1",)}
+    # also inside property paths (a/P0 sequences parse)
+    assert sparql.parse("SELECT ?s WHERE { ?s a ?t }").group[0].p == \
+        sparql.Iri("rdf:type")
+
+
+def test_order_by_function_form():
+    q = sparql.parse(
+        "SELECT ?s ?n WHERE { ?s P0 ?n } ORDER BY DESC(?n) ASC(?s)")
+    assert q.order == [("n", True), ("s", False)]
+    # postfix form still accepted
+    q2 = sparql.parse("SELECT ?s WHERE { ?s P0 ?o } ORDER BY ?s DESC")
+    assert q2.order == [("s", True)]
+
+
+def test_blank_node_label_acts_as_variable(spark):
+    g = graph(spark)
+    # _:x joins across its two occurrences like a variable:
+    # ?s P1 _:x . _:x P2 ?o — the classic bridge pattern
+    q = "SELECT DISTINCT ?s ?o WHERE { ?s P1 _:x . _:x P2 ?o }"
+    assert rows(sparql.evaluate(g, q)) == {
+        ("Q7", "Q5"), ("Q7", "Q6"), ("Q9", "Q5"), ("Q9", "Q6"),
+    }

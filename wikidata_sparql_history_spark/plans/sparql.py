@@ -70,6 +70,13 @@ Semantics notes (deviations from full SPARQL 1.1 are explicit):
   one per revision, unbounded — name them explicitly). Patterns inside
   a variable GRAPH must hit the triple store: magic predicates and
   property paths are graph-independent there and are rejected loudly.
+- Syntax compatibility: `a` in the predicate position is the
+  rdf:type shorthand (SPARQL 1.1 §4.2.4); ORDER BY accepts both the
+  postfix `?v DESC` form and the standard `DESC(?v)` / `ASC(?v)`
+  function form; a blank-node label `_:b` acts as a variable scoped
+  to the query (SPARQL non-distinguished variable) — deviation: it
+  is named `_b_<label>` internally and IS projected by SELECT *
+  (full SPARQL hides bnode vars from *).
 - SELECT is MULTISET (duplicates preserved) unless DISTINCT is given —
   per the round-4 advice; the graph itself is still a set (input rows
   are DISTINCT'd on the three term columns: single-graph semantics).
@@ -520,6 +527,10 @@ def _tokenize(text: str, prefixes: dict | None = None, base: str | None = None):
                 pos -= 1
             if w.upper() in _KEYWORDS and ":" not in w:
                 out.append(("kw", w.upper()))
+            elif w.startswith("_:"):
+                # blank-node label = non-distinguished variable scoped
+                # to the query (same label ⇒ same variable)
+                out.append(("var", Var("_b_" + w[2:])))
             else:
                 out.append(("term", Iri(_expand_prefixed(w, prefixes))))
         else:
@@ -653,15 +664,28 @@ class _Parser:
             elif self._at_kw("ORDER"):
                 self._next()
                 self._expect_kw("BY")
-                while self._peek()[0] == "var":
-                    v = self._next()[1].name
-                    desc = False
-                    if self._at_kw("DESC"):
-                        self._next()
-                        desc = True
-                    elif self._at_kw("ASC"):
-                        self._next()
-                    order.append((v, desc))
+                while True:
+                    if self._peek()[0] == "var":
+                        v = self._next()[1].name
+                        desc = False
+                        if self._at_kw("DESC"):
+                            self._next()
+                            desc = True
+                        elif self._at_kw("ASC"):
+                            self._next()
+                        order.append((v, desc))
+                    elif self._at_kw("DESC", "ASC"):
+                        # standard function form: DESC(?v) / ASC(?v)
+                        _, d = self._next()
+                        self._expect_punct("(")
+                        vk, vv = self._next()
+                        if vk != "var":
+                            raise SparqlError(
+                                f"{d}() needs a variable, got {vv!r}")
+                        self._expect_punct(")")
+                        order.append((vv.name, d == "DESC"))
+                    else:
+                        break
                 if not order:
                     raise SparqlError("ORDER BY needs at least one variable")
             elif self._at_kw("LIMIT"):
@@ -1035,6 +1059,10 @@ class _Parser:
             return p
         k, v = self._next()
         if k == "term":
+            # `a` in the predicate/path position = rdf:type
+            # (SPARQL 1.1 §4.2.4)
+            if isinstance(v, Iri) and v.text == "a":
+                return Iri("rdf:type")
             return v
         raise SparqlError(f"bad path element near {v!r}")
 
