@@ -533,3 +533,23 @@ def test_blank_node_label_acts_as_variable(spark):
     assert rows(sparql.evaluate(g, q)) == {
         ("Q7", "Q5"), ("Q7", "Q6"), ("Q9", "Q5"), ("Q9", "Q6"),
     }
+
+
+def test_langmatches_basic_ranges(spark):
+    g = spark.createDataFrame(
+        [
+            ("Q1", "rdfs:label", "hello@en"),
+            ("Q1", "rdfs:label", "howdy@en-US"),
+            ("Q1", "rdfs:label", "bonjour@fr"),
+            ("Q1", "rdfs:label", "plain"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    q = ('SELECT ?o WHERE { Q1 rdfs:label ?o . '
+         'FILTER(LANGMATCHES(LANG(?o), "en")) }')
+    assert rows(sparql.evaluate(g, q)) == {("hello@en",), ("howdy@en-US",)}
+    q2 = ('SELECT ?o WHERE { Q1 rdfs:label ?o . '
+          'FILTER(LANGMATCHES(LANG(?o), "*")) }')
+    assert rows(sparql.evaluate(g, q2)) == {
+        ("hello@en",), ("howdy@en-US",), ("bonjour@fr",)
+    }

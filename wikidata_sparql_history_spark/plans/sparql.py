@@ -43,6 +43,7 @@ Grammar (ANSI-ish EBNF, keywords case-insensitive)::
                 ('='|'!='|'<'|'>'|'<='|'>=') (term | ?v)
               | ?v [NOT] IN '(' const (',' const)* ')'
               | (STR|LANG) '(' ?v ')' ('='|'!=') const
+              | LANGMATCHES '(' LANG '(' ?v ')' ',' string ')'
               | REGEX '(' ?v ',' string ')' | BOUND '(' ?v ')'
               | (CONTAINS|STRSTARTS|STRENDS) '(' ?v ',' string ')'
     term     := ?v | <iri> | prefixed:name | bareword | number
@@ -484,7 +485,7 @@ _KEYWORDS = {
     "ASK", "CONSTRUCT", "DESCRIBE", "PREFIX", "BASE",
     "BOUND", "CONTAINS", "STRSTARTS", "STRENDS",
     "FROM", "NAMED", "SAMPLE", "GROUP_CONCAT", "SEPARATOR", "IN",
-    "STR", "LANG",
+    "STR", "LANG", "LANGMATCHES",
 }
 _REJECTED_KEYWORDS = {"SERVICE", "OFFSET"}
 _AGG_FNS = ("COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE",
@@ -1093,6 +1094,25 @@ class _Parser:
             e = self._parse_expr()
             self._expect_punct(")")
             return e
+        if self._at_kw("LANGMATCHES"):
+            # langMatches(LANG(?v), "range") — the standard basic
+            # filtering form (SPARQL 1.1 §17.4.3.2, basic ranges only)
+            self._next()
+            self._expect_punct("(")
+            self._expect_kw("LANG")
+            self._expect_punct("(")
+            vk, vv = self._next()
+            if vk != "var":
+                raise SparqlError(
+                    f"langMatches(LANG(...)) needs a variable, got {vv!r}")
+            self._expect_punct(")")
+            self._expect_punct(",")
+            rk, rv = self._next()
+            if rk != "term" or not isinstance(rv, Lit):
+                raise SparqlError(
+                    f"langMatches needs a string range, got {rv!r}")
+            self._expect_punct(")")
+            return FilterExpr(vv.name, "langmatches", rv)
         if self._at_kw("STR", "LANG"):
             _, fn = self._next()
             self._expect_punct("(")
@@ -1521,6 +1541,19 @@ def _filter_col(fe, bound: set, ctx: _Ctx) -> F.Column:
         return col.isNotNull()
     if fe.op == "regex":
         return col.rlike(fe.term.lexical)
+    if fe.op == "langmatches":
+        # basic language ranges (RFC 4647 §2.1 basic filtering):
+        # case-insensitive exact tag or prefix-before-'-'; "*" matches
+        # any tagged value. Rejected on the encoded surface.
+        if ctx.encode_const is not None:
+            raise SparqlError(
+                "langMatches() is unsupported on the encoded surface")
+        tag = F.lower(F.regexp_extract(
+            col, r"^(.+)@([A-Za-z][A-Za-z0-9-]*)$", 2))
+        rng = fe.term.lexical.lower()
+        if rng == "*":
+            return tag != ""
+        return (tag == rng) | tag.startswith(rng + "-")
     if fe.fn in ("str", "lang"):
         # unary accessors over the lex@lang string convention
         # (string_form): LANG = the tag or '' (SPARQL returns "" for
