@@ -123,3 +123,31 @@ def test_cli_requires_exactly_one_mode(spark, store):
     with pytest.raises(SystemExit):
         cli.main(["--store", store, "-q", "ASK { ?s P0 ?o }", "--serve"],
                  spark=spark, out=io.StringIO())
+
+
+def test_cli_build_and_query_roundtrip(spark, tmp_path):
+    # --build (the reference's -load mode) from a transcripts parquet,
+    # then --resume skips every stage, then query the built store
+    from wikidata_sparql_history_spark import synth
+
+    tpath = str(tmp_path / "transcripts")
+    synth.transcripts(spark, 10, shuffled=False).write.parquet(tpath)
+    store = str(tmp_path / "store")
+
+    buf = io.StringIO()
+    rc = cli.main(["--store", store, "--build", tpath],
+                  spark=spark, out=buf)
+    assert rc == 0
+    doc = json.loads(buf.getvalue())
+    assert "ranges" in doc["stages_run"] and not doc["stages_skipped"]
+
+    buf2 = io.StringIO()
+    cli.main(["--store", store, "--build", tpath, "--resume"],
+             spark=spark, out=buf2)
+    doc2 = json.loads(buf2.getvalue())
+    assert not doc2["stages_run"] and "ranges" in doc2["stages_skipped"]
+
+    buf3 = io.StringIO()
+    cli.main(["--store", store, "-q", "ASK { ?s ?p ?o }"],
+             spark=spark, out=buf3)
+    assert buf3.getvalue().splitlines()[1] == "true"

@@ -54,18 +54,27 @@ def run_query(spark, store: str, query: str):
     return sparql.evaluate(triples, query, ranges=ranges, turns=turns)
 
 
+def _cell(v) -> str:
+    """Lexical form of a result cell — SPARQL booleans are lowercase
+    (xsd:boolean canonical form), unlike Python's str(True)."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
 def _emit_tsv(rows, cols, out):
     out.write("\t".join(cols) + "\n")
     for r in rows:
         out.write(
-            "\t".join("" if r[c] is None else str(r[c]) for c in cols) + "\n"
+            "\t".join("" if r[c] is None else _cell(r[c]) for c in cols)
+            + "\n"
         )
 
 
 def _emit_json(rows, cols, out):
     bindings = [
         {
-            c: {"type": "literal", "value": str(r[c])}
+            c: {"type": "literal", "value": _cell(r[c])}
             for c in cols
             if r[c] is not None
         }
@@ -171,6 +180,29 @@ def serve(spark, store: str, fmt: str, max_rows: int, inp, out):
     return 0
 
 
+def build(spark, input_path: str, store: str, resume: bool, out):
+    """`--build`: the Main.java `-load` analog — run (or resume) the
+    construction pipeline from a transcripts parquet into `store`
+    (RocksTripleLoader.java:65-90; resume = the loader's idempotent
+    index build). Prints one stage-metrics JSON line."""
+    from .pipeline.materialize import run_pipeline
+    from . import synth
+
+    transcripts = spark.read.parquet(input_path)
+    res = run_pipeline(
+        spark, transcripts, store,
+        candidates=synth.candidate_dict(spark),
+        aliases=synth.alias_edges(spark),
+        resume=resume,
+        use_builtin_extractor=True,
+    )
+    json.dump({"stages_run": res.stages_run,
+               "stages_skipped": res.stages_skipped,
+               "metrics": res.metrics}, out)
+    out.write("\n")
+    return 0
+
+
 def main(argv=None, spark=None, out=None, inp=None):
     ap = argparse.ArgumentParser(prog="wikidata_sparql_history_spark.cli")
     ap.add_argument("--store", required=True,
@@ -179,13 +211,18 @@ def main(argv=None, spark=None, out=None, inp=None):
     ap.add_argument("--serve", action="store_true",
                     help="read queries from stdin, one per line, against "
                          "the once-loaded store (warm-query mode)")
+    ap.add_argument("--build", metavar="TRANSCRIPTS_PARQUET",
+                    help="build (or --resume) the store from a transcripts "
+                         "parquet — the reference's -load mode")
+    ap.add_argument("--resume", action="store_true",
+                    help="with --build: skip stages whose output exists")
     ap.add_argument("--format", choices=("tsv", "json", "ntriples"),
                     default="tsv")
     ap.add_argument("--max-rows", type=int, default=1000)
     args = ap.parse_args(argv)
     out = out or sys.stdout
-    if bool(args.query) == bool(args.serve):
-        ap.error("exactly one of --query / --serve is required")
+    if sum(map(bool, (args.query, args.serve, args.build))) != 1:
+        ap.error("exactly one of --query / --serve / --build is required")
 
     owned = spark is None
     if owned:
@@ -193,6 +230,8 @@ def main(argv=None, spark=None, out=None, inp=None):
 
         spark = get_spark("sparql-cli")
     try:
+        if args.build:
+            return build(spark, args.build, args.store, args.resume, out)
         if args.serve:
             return serve(spark, args.store, args.format, args.max_rows,
                          inp or sys.stdin, out)
