@@ -1134,6 +1134,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["url_domain_filter"] = url_domain_filter
 
+    def mixture_sample_docs(spark, sf):
+        # static data-mixing: deterministic per-domain downsampling to
+        # target rates (md5-uniform < weight — RNG-free, zero-shuffle,
+        # scan-side CASE). Exercises explicit weights, an explicit 0
+        # (drop), and the default rate.
+        return text_ops.mixture_sample(
+            _t(spark, sf, "documents"),
+            {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0},
+            domain_col="source",
+            default_weight=0.1,
+        ).select("doc_id", "source")
+
+    q["mixture_sample_docs"] = mixture_sample_docs
+
     def kg_sparql_subquery(spark, sf):
         # SPARQL 1.1 subquery: inner aggregate evaluated bottom-up,
         # joined to the outer pattern on its projected variable
@@ -2050,6 +2064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_filter_bool", "kg_sparql_describe_where",
         "kg_sparql_filter_fn", "kg_sparql_filter_arith",
         "kg_sparql_from", "kg_sparql_agg_concat", "kg_sparql_lang",
+        "mixture_sample_docs",
         # (b) module changed since last green: plans/sparql.py
         "kg_sparql_state_at", "kg_sparql_join",
         "kg_sparql_graph_state", "kg_sparql_graph_deltas",
@@ -2070,12 +2085,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_turn_order", "kg_extract", "kg_linked", "language_id",
         "agg_rollup_events", "media_feature_stats", "simhash_docs",
         "fingerprint_docs",
-        # (d) r4-latest fill (8 slots): the pipeline core + the one
-        # r5 bench outlier (kg_statements_reified) + streaming pair
+        # (d) r4-latest fill (7 slots): the pipeline core + the one
+        # r5 bench outlier (kg_statements_reified) + the streaming
+        # extraction gate
         "kg_ranges", "kg_statements_reified",
         "kg_statement_qualifiers", "kg_statement_value_nodes",
         "kg_sql_state_at", "kg_sql_canonical_map",
-        "kg_stream_extract", "kg_stream_window",
+        "kg_stream_extract",
     ]
     missing = [k for k in head if k not in q]
     assert not missing, f"ordering references unknown queries: {missing}"
@@ -2390,6 +2406,19 @@ def oracle_sql() -> dict[str, str]:
         "url_domain_filter": """
             SELECT doc_id FROM documents
             WHERE CAST(doc_id % 7 AS INTEGER) NOT IN (3, 5)""",
+        "mixture_sample_docs": """
+            WITH u AS (
+              SELECT doc_id, source,
+                     CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                               1, 8)) AS BIGINT) AS DOUBLE)
+                       / 4294967296.0 AS u
+              FROM documents
+            )
+            SELECT doc_id, source FROM u
+            WHERE u < CASE source
+                        WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                        WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.0
+                        ELSE 0.1 END""",
         "kg_sparql_subquery": kg
         + f""", st AS (
              SELECT DISTINCT subj, pred, obj FROM ranges

@@ -335,6 +335,19 @@ def bench_mode() -> None:
     # total remains comparable across rounds (round-4 advice); they are
     # reported under their own key below
     enc_scan = _encoded_scan_delta(spark)
+    # SPARQL text-surface probe (round 6): parse+compile+execute two
+    # representative text queries (grouped COUNT over a snapshot
+    # graph; unbound-context enumeration). Reported under their own
+    # key, NOT in the suite total, so cross-round totals stay
+    # comparable — same rule as encoded_scan.
+    sparql_probe = {}
+    for name in ("kg_sparql_count", "kg_sparql_graph_var"):
+        samples = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            qs[name](spark, sf_dir).count()
+            samples.append(time.monotonic() - t0)
+        sparql_probe[name] = round(min(samples), 3)
     wall = time.monotonic() - total0
     total = sum(timings.values())
 
@@ -347,6 +360,7 @@ def bench_mode() -> None:
         "wall_sec": round(wall, 3),
         "queries": timings,
         "encoded_scan": enc_scan,
+        "sparql_surface": sparql_probe,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "kg_triples": kg_triples,
         "kg_triples_per_sec": round(kg_triples / timings["kg_ranges"], 1)

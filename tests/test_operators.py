@@ -354,3 +354,41 @@ def test_bm25_monotonic_and_zero(spark):
     assert got[3] == 0.0 and got[5] == 0.0
     assert got[1] > got[2] > 0          # higher tf -> higher score
     assert got[4] > got[2]              # 'rare' (df=1) beats 'the' (df=2)
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    from wikidata_sparql_history_spark.operators import text as text_ops
+    from pyspark.sql import functions as F
+
+    docs = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("d"), (F.col("id") % 4).cast("string"))
+        .alias("domain"),
+    )
+    out = text_ops.mixture_sample(
+        docs, {"d0": 1.0, "d1": 0.5, "d2": 0.0}, default_weight=0.25
+    )
+    rates = {
+        r["domain"]: r["n"]
+        for r in out.groupBy("domain").agg(F.count("*").alias("n")).collect()
+    }
+    assert rates.get("d0") == 1000          # weight 1.0 keeps all
+    assert "d2" not in rates                # weight 0.0 drops all
+    assert 400 <= rates.get("d1", 0) <= 600     # ~50% of 1000
+    assert 175 <= rates.get("d3", 0) <= 325     # default 25% of 1000
+    # deterministic + repartition-independent
+    again = text_ops.mixture_sample(
+        docs.repartition(13), {"d0": 1.0, "d1": 0.5, "d2": 0.0},
+        default_weight=0.25,
+    )
+    assert {r["doc_id"] for r in again.collect()} == \
+        {r["doc_id"] for r in out.collect()}
+
+
+def test_mixture_sample_weight_validation(spark):
+    from wikidata_sparql_history_spark.operators import text as text_ops
+    import pytest as _pytest
+
+    docs = spark.range(3).selectExpr("id AS doc_id", "'d' AS domain")
+    with _pytest.raises(ValueError, match="out of"):
+        text_ops.mixture_sample(docs, {"d": 1.5})

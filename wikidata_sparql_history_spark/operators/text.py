@@ -156,6 +156,42 @@ def hash_split(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return docs.select(id_col, split.alias("split"))
 
 
+def mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    domain_col: str = "domain",
+    id_col: str = "doc_id",
+    default_weight: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-domain downsampling to target mixture rates —
+    the static data-mixing step of a training-data pipeline (keep each
+    domain at its configured sampling rate, e.g. web 10%, code 100%).
+
+    A doc survives iff its md5-derived uniform in [0,1) falls under
+    its domain's weight: RNG-free, row-order-independent, stable
+    under repartitioning (the hash_split property), and reproducible
+    in any engine with md5. Domains absent from `weights` get
+    `default_weight` (0 = drop — the drop is visible in the weights
+    dict, not silent).
+
+    100 TB shape: the weight table is a literal CASE expression
+    (driver-side, broadcast-free) and the keep test is scan-side —
+    ZERO shuffles, filter runs inside the file scan's codegen stage.
+    """
+    for d, w in weights.items():
+        if not (0.0 <= w <= 1.0):
+            raise ValueError(f"mixture_sample: weight for {d!r} out of "
+                             f"[0, 1]: {w}")
+    # first 8 hex digits of md5 → uniform in [0, 1) with 2^-32 grain
+    u = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("double") / float(1 << 32)
+    w = F.lit(float(default_weight))
+    for d, wt in sorted(weights.items()):
+        w = F.when(F.col(domain_col) == d, F.lit(float(wt))).otherwise(w)
+    return docs.filter(u < w)
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprinting: md5 of case/punctuation-normalized
     text (identical in DuckDB, so oracle-comparable)."""
