@@ -1148,6 +1148,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mixture_sample_docs"] = mixture_sample_docs
 
+    def kg_sparql_optional_cond(spark, sf):
+        # FILTER inside OPTIONAL referencing an OUTER variable — the
+        # RDF4J LeftJoin CONDITION (not a post-join filter): rows
+        # whose only match fails the condition NULL-extend
+        from wikidata_sparql_history_spark.plans import sparql
+
+        state = views.state_at(_kg_ranges(spark, sf), STATE_REV)
+        return sparql.evaluate(
+            state,
+            "SELECT DISTINCT ?s ?o ?o2 WHERE { ?s P0 ?o . "
+            "OPTIONAL { ?o P1 ?o2 . FILTER(?o2 != ?s) } }",
+        )
+
+    q["kg_sparql_optional_cond"] = kg_sparql_optional_cond
+
     def kg_sparql_subquery(spark, sf):
         # SPARQL 1.1 subquery: inner aggregate evaluated bottom-up,
         # joined to the outer pattern on its projected variable
@@ -2064,7 +2079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_filter_bool", "kg_sparql_describe_where",
         "kg_sparql_filter_fn", "kg_sparql_filter_arith",
         "kg_sparql_from", "kg_sparql_agg_concat", "kg_sparql_lang",
-        "mixture_sample_docs",
+        "mixture_sample_docs", "kg_sparql_optional_cond",
         # (b) module changed since last green: plans/sparql.py
         "kg_sparql_state_at", "kg_sparql_join",
         "kg_sparql_graph_state", "kg_sparql_graph_deltas",
@@ -2085,13 +2100,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_turn_order", "kg_extract", "kg_linked", "language_id",
         "agg_rollup_events", "media_feature_stats", "simhash_docs",
         "fingerprint_docs",
-        # (d) r4-latest fill (7 slots): the pipeline core + the one
+        # (d) r4-latest fill (6 slots): the pipeline core + the one
         # r5 bench outlier (kg_statements_reified) + the streaming
         # extraction gate
         "kg_ranges", "kg_statements_reified",
         "kg_statement_qualifiers", "kg_statement_value_nodes",
-        "kg_sql_state_at", "kg_sql_canonical_map",
-        "kg_stream_extract",
+        "kg_sql_canonical_map", "kg_stream_extract",
     ]
     missing = [k for k in head if k not in q]
     assert not missing, f"ordering references unknown queries: {missing}"
@@ -2276,6 +2290,15 @@ def oracle_sql() -> dict[str, str]:
            )
            SELECT DISTINCT a.subj AS s, a.obj AS o, b.obj AS o2
            FROM st a LEFT JOIN st b ON a.obj = b.subj AND b.pred = 'P1'
+           WHERE a.pred = 'P0'""",
+        "kg_sparql_optional_cond": kg
+        + f""", st AS (
+             SELECT DISTINCT subj, pred, obj FROM ranges
+             WHERE range_start <= {STATE_REV} AND {STATE_REV} < range_end
+           )
+           SELECT DISTINCT a.subj AS s, a.obj AS o, b.obj AS o2
+           FROM st a LEFT JOIN st b
+             ON a.obj = b.subj AND b.pred = 'P1' AND b.obj <> a.subj
            WHERE a.pred = 'P0'""",
         "kg_sparql_union": kg
         + f""", st AS (

@@ -553,3 +553,57 @@ def test_langmatches_basic_ranges(spark):
     assert rows(sparql.evaluate(g, q2)) == {
         ("hello@en",), ("howdy@en-US",), ("bonjour@fr",)
     }
+
+
+# --- OPTIONAL filters referencing outer variables (LeftJoin condition) -----
+
+def test_optional_filter_outer_var_left_join_condition(spark):
+    g = spark.createDataFrame(
+        [
+            ("s1", "P0", "o1"),
+            ("o1", "P1", "s1"),     # filtered out by ?z != ?s
+            ("o1", "P1", "z2"),     # survives
+            ("s2", "P0", "o2"),
+            ("o2", "P1", "s2"),     # the ONLY match — filtered, so
+                                    # the s2 row must NULL-extend
+        ],
+        "subj string, pred string, obj string",
+    )
+    q = ("SELECT ?s ?o ?z WHERE { ?s P0 ?o . "
+         "OPTIONAL { ?o P1 ?z . FILTER(?z != ?s) } }")
+    assert rows(sparql.evaluate(g, q)) == {
+        ("s1", "o1", "z2"), ("s2", "o2", None),
+    }
+
+
+def test_optional_filter_inner_only_still_post_filters(spark):
+    # a filter on inner-only vars stays inside the optional group
+    # (unchanged semantics)
+    g = graph(spark)
+    q = ("SELECT DISTINCT ?s ?o ?z WHERE { ?s P1 ?o . "
+         'OPTIONAL { ?o P2 ?z . FILTER(STRENDS(?z, "5")) } }')
+    assert rows(sparql.evaluate(g, q)) == {
+        ("Q7", "Q3", "Q5"), ("Q9", "Q3", "Q5"),
+    }
+
+
+def test_optional_filter_outer_var_boolean_mix(spark):
+    g = spark.createDataFrame(
+        [
+            ("s1", "P0", "o1"),
+            ("o1", "P1", "a"), ("o1", "P1", "s1"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    q = ("SELECT ?s ?z WHERE { ?s P0 ?o . "
+         'OPTIONAL { ?o P1 ?z . FILTER(?z = ?s || ?z = "a") } }')
+    assert rows(sparql.evaluate(g, q)) == {("s1", "a"), ("s1", "s1")}
+
+
+def test_optional_filter_truly_unbound_still_raises(spark):
+    g = graph(spark)
+    with pytest.raises(sparql.SparqlError, match="unbound"):
+        sparql.evaluate(
+            g, "SELECT ?s WHERE { ?s P0 ?o . "
+               "OPTIONAL { ?o P1 ?z . FILTER(?z != ?nowhere) } }"
+        ).collect()

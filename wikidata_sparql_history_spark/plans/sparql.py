@@ -84,7 +84,13 @@ Semantics notes (deviations from full SPARQL 1.1 are explicit):
 - BGP = chain of joins on shared variables; join order is textual and
   Catalyst/AQE re-orders (the reference's bind-join selection).
 - OPTIONAL → left outer join on the shared variables (RDF4J LeftJoin);
-  unmatched rows carry NULL for the optional-only variables.
+  unmatched rows carry NULL for the optional-only variables. A FILTER
+  inside the OPTIONAL that references variables of the enclosing
+  group compiles into the LeftJoin CONDITION (SPARQL algebra
+  LeftJoin(P1, P2, expr)): a left row keeps a right match only when
+  the condition holds, else it NULL-extends — not a post-join filter.
+  Only the immediately enclosing scope participates; deeper
+  references still raise.
 - UNION → unionByName with NULL padding for branch-disjoint variables.
 - GRAPH <rev:global/N> / <rev:additions/N> / <rev:deletions/N> group:
   patterns inside evaluate against views.state_at / additions_at /
@@ -1520,22 +1526,44 @@ def _join(acc, bound, df, vs, how="inner"):
     return acc, bound | vs
 
 
-def _filter_col(fe, bound: set, ctx: _Ctx) -> F.Column:
-    if isinstance(fe, FilterAnd):
-        out = _filter_col(fe.parts[0], bound, ctx)
-        for p in fe.parts[1:]:
-            out = out & _filter_col(p, bound, ctx)
-        return out
-    if isinstance(fe, FilterOr):
-        out = _filter_col(fe.parts[0], bound, ctx)
-        for p in fe.parts[1:]:
-            out = out | _filter_col(p, bound, ctx)
+def _filter_vars(fe) -> set:
+    """Variable names a filter expression references."""
+    if isinstance(fe, (FilterAnd, FilterOr)):
+        out: set = set()
+        for p in fe.parts:
+            out |= _filter_vars(p)
         return out
     if isinstance(fe, FilterNot):
-        return ~_filter_col(fe.part, bound, ctx)
+        return _filter_vars(fe.part)
+    out = {fe.var}
+    if isinstance(fe.term, Var):
+        out.add(fe.term.name)
+    return out
+
+
+def _default_name(v: str) -> str:
+    return f"v_{v}"
+
+
+def _filter_col(fe, bound: set, ctx: _Ctx, name=_default_name) -> F.Column:
+    """`name` maps a variable to its column — the default is the v_*
+    convention; LeftJoin-condition compilation (deferred OPTIONAL
+    filters) resolves inner variables to the aliased right side."""
+    if isinstance(fe, FilterAnd):
+        out = _filter_col(fe.parts[0], bound, ctx, name)
+        for p in fe.parts[1:]:
+            out = out & _filter_col(p, bound, ctx, name)
+        return out
+    if isinstance(fe, FilterOr):
+        out = _filter_col(fe.parts[0], bound, ctx, name)
+        for p in fe.parts[1:]:
+            out = out | _filter_col(p, bound, ctx, name)
+        return out
+    if isinstance(fe, FilterNot):
+        return ~_filter_col(fe.part, bound, ctx, name)
     if fe.var not in bound:
         raise SparqlError(f"FILTER references unbound variable ?{fe.var}")
-    col = F.col(f"v_{fe.var}")
+    col = F.col(name(fe.var))
     if fe.op == "bound":
         # NULL test — meaningful after OPTIONAL/UNION padding
         return col.isNotNull()
@@ -1593,7 +1621,7 @@ def _filter_col(fe, bound: set, ctx: _Ctx) -> F.Column:
             if fe.term.name not in bound:
                 raise SparqlError(
                     f"FILTER references unbound variable ?{fe.term.name}")
-            rhs = F.col(f"v_{fe.term.name}").cast("double")
+            rhs = F.col(name(fe.term.name)).cast("double")
         elif _is_numeric_const(fe.term):
             rhs = F.lit(float(fe.term.lexical))
         else:
@@ -1609,7 +1637,7 @@ def _filter_col(fe, bound: set, ctx: _Ctx) -> F.Column:
         if fe.term.name not in bound:
             raise SparqlError(
                 f"FILTER references unbound variable ?{fe.term.name}")
-        rhs = F.col(f"v_{fe.term.name}")
+        rhs = F.col(name(fe.term.name))
     elif ctx.encode_const is not None:
         rhs = F.lit(ctx.const(fe.term))
     elif fe.op in ("<", ">", "<=", ">=") and _is_numeric_const(fe.term):
@@ -1643,6 +1671,46 @@ def _bind_col(expr, bound: set, ctx: _Ctx) -> F.Column:
 
 
 def _compile_group(group: tuple, ctx: _Ctx, graph=None):
+    acc, bound, _ = _compile_group_ex(group, ctx, graph, frozenset())
+    return acc, bound
+
+
+def _left_join_conditional(acc, bound, df, vs, deferred, ctx):
+    """OPTIONAL whose filters reference OUTER variables: the RDF4J
+    LeftJoin with a join CONDITION (SPARQL algebra LeftJoin(P1, P2,
+    expr)) — a left row keeps a right match only when the shared vars
+    agree AND the condition holds; otherwise it NULL-extends. The
+    right side is aliased (_r_*) so the condition can address both
+    sides; shared variables keep the LEFT copy (equal on match,
+    preserved on NULL-extension)."""
+    if acc is None:
+        raise SparqlError("OPTIONAL cannot be the first pattern in a group")
+    shared = sorted(bound & vs)
+    right = df.select(
+        *[F.col(f"v_{v}").alias(f"_r_{v}") for v in sorted(vs)]
+    )
+    cond = None
+    for v in shared:
+        c = F.col(f"v_{v}") == F.col(f"_r_{v}")
+        cond = c if cond is None else (cond & c)
+
+    def name(v: str) -> str:
+        return f"_r_{v}" if v in vs else f"v_{v}"
+
+    for fe in deferred:
+        c = _filter_col(fe, bound | vs, ctx, name)
+        cond = c if cond is None else (cond & c)
+    joined = acc.join(right, cond if cond is not None else F.lit(True),
+                      "left")
+    keep = [F.col(c) for c in acc.columns]
+    keep += [F.col(f"_r_{v}").alias(f"v_{v}") for v in sorted(vs - bound)]
+    return joined.select(*keep), bound | vs
+
+
+def _compile_group_ex(group: tuple, ctx: _Ctx, graph, outer_bound):
+    """Compile a group; filters that reference variables bound only in
+    `outer_bound` (possible only inside OPTIONAL) are returned as the
+    third element for the caller to fold into the LeftJoin condition."""
     acc, bound = None, set()
     filters: list[FilterExpr] = []
     for el in group:
@@ -1653,8 +1721,15 @@ def _compile_group(group: tuple, ctx: _Ctx, graph=None):
             df, vs = _compile_pattern(el, ctx, graph)
             acc, bound = _join(acc, bound, df, vs)
         elif isinstance(el, OptionalBlock):
-            df, vs = _compile_group(el.group, ctx, graph)
-            acc, bound = _join(acc, bound, df, vs, how="left")
+            # only the IMMEDIATE outer scope participates in the
+            # LeftJoin condition — deeper references still raise
+            df, vs, deferred = _compile_group_ex(
+                el.group, ctx, graph, frozenset(bound))
+            if deferred:
+                acc, bound = _left_join_conditional(
+                    acc, bound, df, vs, deferred, ctx)
+            else:
+                acc, bound = _join(acc, bound, df, vs, how="left")
         elif isinstance(el, MinusBlock):
             df, vs = _compile_group(el.group, ctx, graph)
             on = [f"v_{v}" for v in bound & vs]
@@ -1715,6 +1790,7 @@ def _compile_group(group: tuple, ctx: _Ctx, graph=None):
             raise SparqlError(f"unknown group element {el!r}")
     if acc is None:
         raise SparqlError("empty group pattern")
+    deferred: list = []
     for fe in filters:
         if isinstance(fe, ExistsExpr):
             df, vs = _compile_group(fe.group, ctx, graph)
@@ -1726,8 +1802,14 @@ def _compile_group(group: tuple, ctx: _Ctx, graph=None):
             how = "left_anti" if fe.negated else "left_semi"
             acc = acc.join(df.select(*on).distinct(), on, how)
         else:
-            acc = acc.filter(_filter_col(fe, bound, ctx))
-    return acc, bound
+            fvars = _filter_vars(fe)
+            if not (fvars <= bound) and fvars <= (bound | outer_bound):
+                # references the enclosing OPTIONAL's outer scope:
+                # becomes part of the LeftJoin condition
+                deferred.append(fe)
+            else:
+                acc = acc.filter(_filter_col(fe, bound, ctx))
+    return acc, bound, deferred
 
 
 def _agg_col(p: Projection) -> F.Column:
