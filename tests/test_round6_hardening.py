@@ -607,3 +607,11 @@ def test_optional_filter_truly_unbound_still_raises(spark):
             g, "SELECT ?s WHERE { ?s P0 ?o . "
                "OPTIONAL { ?o P1 ?z . FILTER(?z != ?nowhere) } }"
         ).collect()
+
+
+def test_having_group_concat_rejected(spark):
+    g = graph(spark)
+    with pytest.raises(sparql.SparqlError, match="GROUP_CONCAT numerically"):
+        sparql.evaluate(
+            g, "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s P2 ?o } "
+               "GROUP BY ?s HAVING(GROUP_CONCAT(?o) > 1)")

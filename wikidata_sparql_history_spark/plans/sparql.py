@@ -1968,6 +1968,11 @@ def _compile_select(q: Query, ctx: _Ctx, graph=None):
         acc = acc.groupBy(*[f"v_{v}" for v in q.group_by]).agg(*agg_cols)
         bound = set(q.group_by) | {p.var for p in aggs + hidden}
         for i, (target, op, val) in enumerate(q.having):
+            if isinstance(target, Projection) and target.agg == "GROUP_CONCAT":
+                # a numeric HAVING over a concat string would cast to
+                # NULL and silently drop every group — reject loudly
+                raise SparqlError(
+                    "HAVING cannot compare GROUP_CONCAT numerically")
             name = f"__h{i}" if isinstance(target, Projection) else target
             if name not in bound:
                 raise SparqlError(
