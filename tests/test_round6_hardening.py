@@ -615,3 +615,19 @@ def test_having_group_concat_rejected(spark):
         sparql.evaluate(
             g, "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s P2 ?o } "
                "GROUP BY ?s HAVING(GROUP_CONCAT(?o) > 1)")
+
+
+def test_construct_where_shorthand(spark):
+    g = graph(spark)
+    out = sparql.evaluate(g, "CONSTRUCT WHERE { ?s P2 ?o }")
+    assert set(out.columns) == {"subj", "pred", "obj"}
+    assert rows(out) == {("Q3", "P2", "Q5"), ("Q3", "P2", "Q6")}
+    out2 = sparql.evaluate(g, "CONSTRUCT WHERE { ?s P1 ?o . ?o P2 ?z } LIMIT 10")
+    assert rows(out2) <= {
+        ("Q7", "P1", "Q3"), ("Q9", "P1", "Q3"),
+        ("Q3", "P2", "Q5"), ("Q3", "P2", "Q6"),
+    }
+    with pytest.raises(sparql.SparqlError, match="shorthand"):
+        sparql.parse("CONSTRUCT WHERE { ?s P1 ?o . FILTER(?s = Q7) }")
+    with pytest.raises(sparql.SparqlError, match="property paths"):
+        sparql.parse("CONSTRUCT WHERE { ?s P1+ ?o }")

@@ -17,7 +17,7 @@ Grammar (ANSI-ish EBNF, keywords case-insensitive)::
                 [GROUP BY ?v+] [HAVING '(' (AGG '(' ?v ')' | ?v) op num ')']*
                 [ORDER BY (?v [DESC])+] [LIMIT n] [OFFSET n]
               | ASK [WHERE] group
-              | CONSTRUCT '{' triple+ '}' WHERE group [LIMIT n]
+              | CONSTRUCT ('{' triple+ '}' WHERE group | WHERE group) [LIMIT n]
               | DESCRIBE (constant | ?v WHERE group)
     proj     := ?v | '(' AGG '(' [DISTINCT] (?v | '*')
                 [';' SEPARATOR '=' string] ')' AS ?v ')'
@@ -600,9 +600,28 @@ class _Parser:
             return AskQuery(g)
         if not inner and k == "kw" and v == "CONSTRUCT":
             self._next()
-            tmpl = self._parse_template()
-            self._expect_kw("WHERE")
-            g = self._parse_group()
+            if self._at_kw("WHERE"):
+                # CONSTRUCT WHERE shorthand (SPARQL 1.1 §10.2.2): the
+                # template IS the pattern — restricted to plain
+                # triples, as in the spec
+                self._next()
+                g = self._parse_group()
+                bad = [el for el in g if not isinstance(el, Pattern)]
+                if bad:
+                    raise SparqlError(
+                        "CONSTRUCT WHERE shorthand allows only plain "
+                        f"triple patterns, got {bad[0]!r}")
+                pattern_paths = [el for el in g
+                                 if isinstance(el.p, _PATH_NODES)]
+                if pattern_paths:
+                    raise SparqlError(
+                        "CONSTRUCT WHERE shorthand allows only plain "
+                        "predicates, not property paths")
+                tmpl = g
+            else:
+                tmpl = self._parse_template()
+                self._expect_kw("WHERE")
+                g = self._parse_group()
             limit = None
             if self._at_kw("LIMIT"):
                 self._next()
