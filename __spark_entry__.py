@@ -127,6 +127,13 @@ def _kg_ranges(spark, sf_dir):
         _kg_transcripts(spark, sf_dir),
         synth.candidate_dict(spark),
         synth.alias_edges(spark),
+        # r7 (guide §4.1): the all-JVM regexp_extract_all+posexplode
+        # extractor — row-identical to the Arrow/pandas twin
+        # (tests/test_construct_fused.py, same oracle) but with no
+        # JVM↔Python boundary: at sf1.0 the mapInPandas variant paid
+        # ~30 s where this plan pays ~4 s. kg_ranges_pandas remains
+        # the declared pandas-path witness.
+        use_builtin_extractor=True,
     ).select("conv_id", "subj", "pred", "obj", "range_start", "range_end").persist()
     _RANGES_CACHE[key] = df
     return df

@@ -63,7 +63,12 @@ def test_ngram_hot_shingle_cap_drops_ubiquitous(spark):
     uncapped = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.01,
                                          max_shingle_freq=None)
     assert uncapped.count() == 6  # all pairs share the hot shingle
-    plan = capped._jdf.queryExecution().executedPlan().toString()
+    # plan-shape assertion on the pre-checkpoint plan (r7: the operator
+    # materializes its inverted index before the self-join, which hides
+    # the anti-join from the final plan text)
+    unmat = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.01,
+                                      max_shingle_freq=3, materialize=False)
+    plan = unmat._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti, BuildRight" in plan, plan[:2000]
 
 

@@ -55,14 +55,19 @@ def shingles(docs: DataFrame, n: int = 3, distinct: bool = True) -> DataFrame:
     semantics and use the default.
     """
     words_expr = F.split(F.trim(normalize_text()), r"\s+")
-    w = docs.select("doc_id", words_expr.alias("words")).filter(
-        F.size("words") >= n
-    )
+    w = docs.select("doc_id", words_expr.alias("words"))
+    # r7: no `size(words) >= n` Filter — the predicate-pushdown rewrite
+    # inlined the full normalize+split expression into the Filter, so
+    # every row paid the regex TWICE (once in the filter, once in the
+    # projection; measured 7.1 s → 3.6 s for the shingle pass at sf1.0).
+    # The greatest(…, 0) slice bound gives short docs an empty slice →
+    # posexplode emits nothing → identical row set, single evaluation
+    # (guide §2.3 "project before the exchange" / §1.2 per-task work).
     pos = w.select(
         "doc_id",
         "words",
         F.posexplode(
-            F.slice("words", 1, F.size("words") - (n - 1))
+            F.slice("words", 1, F.greatest(F.size("words") - (n - 1), F.lit(0)))
         ).alias("i", "w0"),
     )
     shingle = F.concat_ws(
@@ -75,6 +80,7 @@ def shingles(docs: DataFrame, n: int = 3, distinct: bool = True) -> DataFrame:
 def ngram_jaccard_pairs(
     docs: DataFrame, n: int = 3, threshold: float = 0.5,
     max_shingle_freq: int | None = 1000,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by n-gram Jaccard ≥ threshold.
 
@@ -104,6 +110,15 @@ def ngram_jaccard_pairs(
     sh = sh.withColumn(
         "n_sh", F.count("*").over(Window.partitionBy("doc_id"))
     )
+    # r7: materialize the annotated inverted index ONCE — without this
+    # both join sides replanned the whole shingle pipeline (scan →
+    # shingle → per-doc distinct → hot-set anti-join → count window),
+    # and the hot-set aggregation scanned it a third time (guide §3.3).
+    # `materialize=False` exists only for plan-shape tests, which need
+    # the pre-checkpoint plan text (same pattern as
+    # encoding.build_dictionary's `checkpoint=False`).
+    if materialize:
+        sh = sh.localCheckpoint()
     a = sh.selectExpr("doc_id as id1", "n_sh as n1", "shingle")
     b = sh.selectExpr("doc_id as id2", "n_sh as n2", "shingle")
     eps = 1e-9
@@ -241,6 +256,16 @@ def minhash_lsh_pairs(
     banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+    # r7: materialize the banded signatures ONCE before the self-join.
+    # Catalyst plans the two join branches as two separate copies of
+    # the whole signature pipeline (scan → shingle → 16-way min
+    # aggregate → band explode, twice — confirmed in
+    # plans/r07/minhash_lsh_pairs_fast_before.txt), doubling the
+    # dominant cost. One eager localCheckpoint feeds both sides from
+    # the same blocks (guide §3.3: materialise an intermediate to
+    # truncate duplicated subtrees). The checkpointed table is tiny
+    # relative to the corpus (doc_id + band + key per band).
+    banded = banded.localCheckpoint()
     a = banded.selectExpr("doc_id as id1", "band", "key")
     b = banded.selectExpr("doc_id as id2", "band", "key")
     return (
@@ -297,6 +322,10 @@ def simhash_band_pairs(docs: DataFrame, band_bits: int = 16) -> DataFrame:
     banded = s.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")).select(
         "doc_id", "bk.band", "bk.key"
     )
+    # r7: same single-pass materialization as minhash_lsh_pairs — the
+    # 64-aggregate simhash pipeline must not be computed once per join
+    # side (guide §3.3).
+    banded = banded.localCheckpoint()
     a = banded.selectExpr("doc_id as id1", "band", "key")
     b = banded.selectExpr("doc_id as id2", "band", "key")
     return (

@@ -176,9 +176,14 @@ def connected_components(edges: DataFrame, max_iters: int = MAX_ITERS) -> DataFr
     component (string min). Iterative join + groupBy-min with
     checkpointed frontier; converges in O(diameter) rounds.
     """
+    # r7: materialize the symmetrized edge table once — it is joined in
+    # EVERY label-propagation round, and `edges` can be an arbitrarily
+    # expensive upstream plan (dedup_clusters feeds the whole n-gram
+    # Jaccard pipeline in here); without the checkpoint each round
+    # re-evaluated it from scratch (guide §2.4/§5).
     sym = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint()
     nodes = sym.select(F.col("src").alias("node")).distinct()
     labels = nodes.withColumn("component", F.col("node"))
     for _ in range(max_iters):

@@ -97,8 +97,15 @@ def construct_ranges(
 
     n = n_buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    # exchange 1: conv_id buckets; ordering windows ride on it
-    t = transcripts.repartition(n, "conv_id")
+    # exchange 1: conv_id clustering for the ordering window. An
+    # explicit repartition is only issued when the caller pinned a
+    # bucket count; otherwise the window's ClusteredDistribution makes
+    # EnsureRequirements insert the identical hash(conv_id) exchange at
+    # spark.sql.shuffle.partitions — and SKIP it when the input is
+    # already hash-partitioned by conv_id (transcripts_from_events is,
+    # since r7), so the wide `text` column never crosses a shuffle
+    # (guide §2.4: remove shuffles outright).
+    t = transcripts.repartition(n_buckets, "conv_id") if n_buckets else transcripts
     w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
     ordered = t.select(
         "conv_id",

@@ -40,14 +40,18 @@ def transitive_closure(
     restricting origins — the bound-subject rewrite. max_hops: optional
     depth cap (``p{1,n}``); None = unbounded (cycle-safe regardless).
     """
-    e = edges.select("src", "dst").distinct()
+    # r7: materialize the deduped edge table ONCE. Every BFS round
+    # joins against `e`; without the checkpoint each round re-evaluated
+    # the whole upstream plan (for kg_closure: a distinct over the full
+    # 1.5M-row ranges table PER ROUND — O(rounds) full passes, guide
+    # §2.4/§5). One eager localCheckpoint turns that into one pass.
+    e = edges.select("src", "dst").distinct().localCheckpoint()
     if seeds is not None:
         frontier = (
             seeds.select("src").distinct().join(e, "src").select("src", "dst")
-        )
+        ).localCheckpoint()
     else:
-        frontier = e
-    frontier = frontier.localCheckpoint()
+        frontier = e  # already materialized above — no second copy
     reached = frontier
     hops = 1
     limit = max_hops if max_hops is not None else MAX_HOPS_DEFAULT
@@ -171,7 +175,14 @@ def pagerank(
     localCheckpoint per iteration (same pattern as the closure/CC
     loops). N is a one-time count — metadata, not data, on the driver.
     """
-    e = edges.select("src", "dst").distinct()
+    # r7: materialize the distinct edge table and the out-degree dim
+    # ONCE — both are re-read in every one of the `iterations` rounds
+    # (contribs join + dangling anti-join), and without the checkpoints
+    # each round re-evaluated their full upstream plans (for
+    # kg_pagerank: 10 distinct passes + 10 degree aggregations over
+    # the ranges table — guide §2.4/§5; this was the single slowest
+    # contract query in the r6 verdict).
+    e = edges.select("src", "dst").distinct().localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -179,7 +190,7 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()
-    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    out_deg = e.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint()
     base = (1.0 - damping) / n
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iterations):

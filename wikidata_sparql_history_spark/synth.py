@@ -199,14 +199,26 @@ def transcripts_from_events(events: DataFrame) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # r7: the window is keyed on conv_id ('u' || user_id — a bijection
+    # of user_id, so groups and order are IDENTICAL to partitioning by
+    # user_id) instead of user_id. Row-for-row the output is unchanged,
+    # but it now comes out hash-partitioned by conv_id — the key every
+    # downstream consumer (ordered_turns, construct_ranges, per-conv
+    # aggregations) clusters on — so the wide generated `text` column
+    # is born AFTER this table's only exchange and never crosses a
+    # shuffle itself (guide §2.3 "shuffle fewer bytes" / §2.4 "remove
+    # shuffles outright": the narrow events rows shuffle once; the
+    # ~300-byte texts, never).
     base = events.select(
-        "user_id", "event_id", "event_type", "ts",
-        (F.row_number().over(w) - 1).alias("t"),
-    ).withColumn("c", F.col("user_id"))
+        F.concat(F.lit("u"), "user_id").alias("conv_id"),
+        "event_id", "event_type", "ts",
+        F.col("user_id").alias("c"),
+    )
+    w = Window.partitionBy("conv_id").orderBy("ts", "event_id")
+    base = base.withColumn("t", F.row_number().over(w) - 1)
     cols = _turn_cols()
     return base.select(
-        F.concat(F.lit("u"), "user_id").alias("conv_id"),
+        "conv_id",
         (F.lit(2) + 3 * F.col("t")).cast("int").alias("turn_idx"),
         F.col("event_type").alias("role"),
         cols["text"].alias("text"),
