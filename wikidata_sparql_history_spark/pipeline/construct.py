@@ -123,20 +123,44 @@ def construct_ranges(
     if use_builtin_extractor:
         # columnar twin: regexp_extract_all + posexplode; meta columns
         # ride along and conv_id keeps its attribute → partitioning
-        # survives, no second exchange needed
+        # survives, no second exchange needed.
+        # r7: NO size()-prefilter — predicate pushdown inlined BOTH
+        # regexp_extract_all calls into a Filter below this projection,
+        # evaluating each regex 2-3x per turn (confirmed in
+        # plans/r07/kg_ranges_fast_before.txt op (115)). Empty `preds`
+        # explode to zero rows and short `ments` yield NULL objs, so
+        # the single obj-NOT-NULL filter above the Generate (which
+        # pushdown cannot cross: `i` is generated) keeps the row set
+        # identical with ONE evaluation per regex (guide §1.2 per-task
+        # work, §4.4 analog for built-ins).
+        # The single-element struct explode materializes both arrays as
+        # ONE generated attribute, so the filter InferFiltersFromGenerate
+        # derives for the posexplode is a cheap field access instead of
+        # a third regex evaluation.
         ext = ordered.select(
             *_META,
-            F.regexp_extract_all("text", F.lit(MENTION_RE), 1).alias("ments"),
-            F.regexp_extract_all("text", F.lit(PRED_RE), 1).alias("preds"),
-        ).filter((F.size("ments") >= 2) & (F.size("preds") >= 1))
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.regexp_extract_all(
+                            "text", F.lit(MENTION_RE), 1
+                        ).alias("ments"),
+                        F.regexp_extract_all(
+                            "text", F.lit(PRED_RE), 1
+                        ).alias("preds"),
+                    )
+                )
+            ).alias("mp"),
+        )
         facts = ext.select(
             *_META,
-            F.element_at("ments", 1).alias("subj"),
-            F.posexplode("preds").alias("i", "pred"),
-            F.col("ments"),
+            F.posexplode("mp.preds").alias("i", "pred"),
+            F.col("mp.ments").alias("ments"),
         ).select(
-            *_META, "subj", "pred",
-            # NULL (not ANSI error) when preds outnumber object mentions
+            *_META,
+            # try_: NULL (not ANSI error) on empty/short mention lists
+            F.try_element_at("ments", F.lit(1)).alias("subj"),
+            "pred",
             F.try_element_at("ments", F.col("i") + 2).alias("obj"),
         ).filter(F.col("obj").isNotNull())
     else:

@@ -90,26 +90,44 @@ def extract_triples(transcripts: DataFrame) -> DataFrame:
 
 def extract_triples_builtin(transcripts: DataFrame) -> DataFrame:
     """Same semantics, pure built-in expressions (whole-stage codegen)."""
+    # r7: no size()-prefilter — it was pushed below the projection,
+    # re-evaluating both regexp_extract_all calls in the Filter (2-3x
+    # per turn). Empty pred lists explode to zero rows and short
+    # mention lists yield NULL subj/obj, so the obj-NOT-NULL filter
+    # above the Generate keeps the row set identical with one
+    # evaluation per regex (same rewrite as construct.py; guide §1.2).
     df = transcripts.select(
         "conv_id",
         F.col("turn_idx").cast("long").alias("turn_idx"),
-        F.regexp_extract_all("text", F.lit(MENTION_RE), 1).alias("ments"),
-        F.regexp_extract_all("text", F.lit(PRED_RE), 1).alias("preds"),
-    ).filter((F.size("ments") >= 2) & (F.size("preds") >= 1))
+        # single-element struct explode: both arrays become ONE
+        # generated attribute, so InferFiltersFromGenerate's derived
+        # filter for the posexplode is a field access, not a regex
+        F.explode(
+            F.array(
+                F.struct(
+                    F.regexp_extract_all("text", F.lit(MENTION_RE), 1).alias(
+                        "ments"
+                    ),
+                    F.regexp_extract_all("text", F.lit(PRED_RE), 1).alias(
+                        "preds"
+                    ),
+                )
+            )
+        ).alias("mp"),
+    )
     df = df.select(
         "conv_id",
         "turn_idx",
-        F.element_at("ments", 1).alias("subj"),
-        F.posexplode("preds").alias("i", "pred"),
-        F.col("ments"),
+        F.posexplode("mp.preds").alias("i", "pred"),
+        F.col("mp.ments").alias("ments"),
     ).select(
         "conv_id",
         "turn_idx",
-        "subj",
+        # try_element_at: NULL (→ filtered) on empty/short mention
+        # lists — plain element_at throws under Spark 4 ANSI mode,
+        # diverging from the pandas twin
+        F.try_element_at("ments", F.lit(1)).alias("subj"),
         "pred",
-        # try_element_at: NULL (→ filtered) when a turn has more <<P>>
-        # markers than non-subject [[E]] mentions — plain element_at
-        # throws under Spark 4 ANSI mode, diverging from the pandas twin
         F.try_element_at("ments", F.col("i") + 2).alias("obj"),
     )
     return df.filter(F.col("obj").isNotNull()).dropDuplicates(

@@ -90,13 +90,31 @@ def reified_segments(transcripts: DataFrame) -> DataFrame:
     """Parse every reified segment of every turn: (conv_id, turn_idx,
     subj, pred, stmt_rank, obj, qual_pred, qual_obj, ref_src) with ''
     for absent optional parts (raw surface forms, pre-linking)."""
-    base = transcripts.select(
+    # r7: subj + segs are materialized through ONE single-element
+    # explode before the subj-filter. Filtering directly on the subj
+    # projection let predicate pushdown inline the regex — and, for
+    # generated transcripts, the ENTIRE text-generation expression —
+    # into a Filter below the projection, evaluating it twice per turn
+    # (plans/r07/kg_statements_reified_before.txt op (127)). A filter
+    # on a Generate's output cannot be pushed below the Generate, so
+    # everything is evaluated once (guide §1.2 / §4.4 analog).
+    pre = transcripts.select(
         "conv_id",
         F.col("turn_idx").cast("long").alias("turn_idx"),
-        F.regexp_extract("text", r"\[\[(E\d+)\]\]", 1).alias("subj"),
-        F.posexplode(F.regexp_extract_all("text", F.lit(SEG_RE), 1)).alias(
-            "seg_idx", "seg"
-        ),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.regexp_extract("text", r"\[\[(E\d+)\]\]", 1).alias("subj"),
+                    F.regexp_extract_all("text", F.lit(SEG_RE), 1).alias("segs"),
+                )
+            )
+        ).alias("ps"),
+    )
+    base = pre.select(
+        "conv_id",
+        "turn_idx",
+        F.col("ps.subj").alias("subj"),
+        F.posexplode("ps.segs").alias("seg_idx", "seg"),
     ).filter(F.col("subj") != "")
     seg = F.col("seg")
     return base.select(
