@@ -91,8 +91,23 @@ def cosine_topk(
             "broadcast cross-product path is for small probe sets; use "
             "ivf_topk or lsh_bucket_topk for large query sets"
         )
-    crossed = embeddings.crossJoin(F.broadcast(queries))
-    scored = with_cosine(crossed).filter(F.col("vec_id") != F.col("qid"))
+    # r7: hoist the double-cast and the norms below the cross join —
+    # they are per-ROW quantities, but with_cosine's per-pair
+    # expression recomputed them per PAIR (Q×N interpreted-HOF norm
+    # evaluations instead of Q+N; guide §1.2 per-task work). Same cast,
+    # same FP operations on the same row values → bit-identical cosine,
+    # identical ranking.
+    emb = embeddings.withColumn(
+        "_e", F.col("embedding").cast("array<double>")
+    ).withColumn("_en", _norm(F.col("_e")))
+    qry = queries.withColumn(
+        "_q", F.col("qvec").cast("array<double>")
+    ).withColumn("_qn", _norm(F.col("_q")))
+    crossed = emb.crossJoin(F.broadcast(qry))
+    scored = crossed.withColumn(
+        "cosine",
+        _dot(F.col("_e"), F.col("_q")) / (F.col("_en") * F.col("_qn")),
+    ).filter(F.col("vec_id") != F.col("qid"))
     w = Window.partitionBy("qid").orderBy(
         F.col("cosine").desc(), F.col("vec_id")
     )
