@@ -456,6 +456,9 @@ def parse_headers(text: str):
     return text[pos:], prefixes, base
 
 
+_RDF_TYPE_FULL = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
 def _expand_prefixed(text: str, prefixes: dict) -> str:
     """Expand `pfx:local` against a DECLARED prefix; undeclared
     prefixed names keep the bare-name behavior (they are the store's
@@ -464,7 +467,12 @@ def _expand_prefixed(text: str, prefixes: dict) -> str:
         pfx, local = text.split(":", 1)
         ns = prefixes.get(pfx)
         if ns is not None:
-            return ns + local
+            full = ns + local
+            # the store's terms are short-form; canonicalize the one
+            # IRI every query can spell two ways, so a declared
+            # `rdf:type` and the `a` shorthand (both → "rdf:type")
+            # match the same triples (r6 advice item 2)
+            return "rdf:type" if full == _RDF_TYPE_FULL else full
     return text
 
 
@@ -522,7 +530,9 @@ def _tokenize(text: str, prefixes: dict | None = None, base: str | None = None):
             iri = m.group("iri")
             if base is not None and not _ABSOLUTE_IRI_RE.match(iri):
                 iri = base + iri
-            out.append(("term", Iri(iri)))
+            out.append(
+                ("term", Iri("rdf:type" if iri == _RDF_TYPE_FULL else iri))
+            )
         elif m.group("var") is not None:
             out.append(("var", Var(m.group("var"))))
         elif m.group("num") is not None:
@@ -1992,6 +2002,15 @@ def _compile_select(q: Query, ctx: _Ctx, graph=None):
                 # NULL and silently drop every group — reject loudly
                 raise SparqlError(
                     "HAVING cannot compare GROUP_CONCAT numerically")
+            if not isinstance(target, Projection):
+                # alias form of the same trap: HAVING(?os > 1) where
+                # ?os is SELECT (GROUP_CONCAT(...) AS ?os) — resolve
+                # the variable to its SELECT aggregate and apply the
+                # identical guard (r6 advice item 1)
+                src = next((p for p in aggs if p.var == target), None)
+                if src is not None and src.agg == "GROUP_CONCAT":
+                    raise SparqlError(
+                        "HAVING cannot compare GROUP_CONCAT numerically")
             name = f"__h{i}" if isinstance(target, Projection) else target
             if name not in bound:
                 raise SparqlError(

@@ -93,13 +93,25 @@ def make_app(spark, store: str, max_rows: int = 1000):
     The store loads lazily on the first request and is shared by all
     subsequent ones (HistoryRepository lifecycle)."""
     state = {}
+    # lazy init guarded by a lock: under a multi-threaded WSGI server
+    # concurrent first requests would otherwise race cli._load (two
+    # redundant store loads, and a partially-populated dict visible
+    # mid-write). The dict is populated via ONE atomic assignment
+    # after the load completes (r6 advice item 3).
+    import threading
+
+    _init_lock = threading.Lock()
 
     def _tables():
-        if "ranges" not in state:
-            ranges, turns = cli._load(spark, store)
-            state["ranges"] = ranges
-            state["turns"] = turns
-            state["triples"] = ranges.select("subj", "pred", "obj")
+        if "triples" not in state:
+            with _init_lock:
+                if "triples" not in state:
+                    ranges, turns = cli._load(spark, store)
+                    state.update({
+                        "ranges": ranges,
+                        "turns": turns,
+                        "triples": ranges.select("subj", "pred", "obj"),
+                    })
         return state["triples"], state["ranges"], state["turns"]
 
     def app(environ, start_response):
